@@ -149,7 +149,7 @@ class PileupConfig:
         return MIN_AF_BY_PLATFORM[self.platform]
 
     @property
-    def effective_snp_min_af(self) -> float:
+    def effective_snp_af(self) -> float:
         snp_af = self.snp_min_af if self.snp_min_af >= 0 else MIN_AF
         if self.platform == "ont" and self.fast_mode:
             snp_af = max(snp_af, MIN_AF_BY_PLATFORM[self.platform])

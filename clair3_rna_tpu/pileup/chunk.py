@@ -1,0 +1,74 @@
+"""Chunk-level tensor production: BAM region -> TensorRecords.
+
+Replaces the reference's per-chunk `pypy create_tensor_pileup` worker process
+(clair3_rna/call_var_bam.py:205-245): a chunk is the unit of data parallelism;
+rows span the +-33 bp extended region exactly like the mpileup invocation
+(src/create_tensor_pileup.py:411-418), and duplicate boundary candidates are
+deduplicated at the merge stage, as in the reference.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from clair3_rna_tpu import config
+from clair3_rna_tpu.config import PileupConfig
+from clair3_rna_tpu.io.bam import BamReader
+from clair3_rna_tpu.io.fasta import FastaFile
+from clair3_rna_tpu.pileup import builder
+from clair3_rna_tpu.pileup.events import extract_events
+
+_CODE = np.full(256, -1, dtype=np.int8)
+for _i, _b in enumerate("ACGT"):
+    _CODE[ord(_b)] = _i
+
+
+@dataclass
+class ChunkTask:
+    ctg_name: str
+    start: int      # 0-based inclusive chunk start
+    end: int        # 0-based exclusive chunk end
+
+
+def plan_chunks(fasta: FastaFile, contigs=None, chunk_size=config.CHUNK_SIZE):
+    """Contig x chunk grid (run_clair3_rna:360-381 equivalents, 0-based)."""
+    tasks = []
+    for name in (contigs or fasta.contigs):
+        length = fasta.contig_length(name)
+        n_chunks = max(1, -(-length // chunk_size))
+        per = length // n_chunks + (1 if length % n_chunks else 0)
+        for i in range(n_chunks):
+            tasks.append(ChunkTask(name, per * i, min(per * (i + 1), length)))
+    return tasks
+
+
+def ref_codes_from(seq: str) -> np.ndarray:
+    return _CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
+
+
+def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
+                        cfg: PileupConfig, known_positions=None):
+    """Produce TensorRecords for one chunk (the reference pipeline's unit of
+    work). Returns records ordered by center position."""
+    window = config.NO_OF_POSITIONS
+    contig_len = fasta.contig_length(task.ctg_name)
+    # mpileup rows cover the +-33 extended region; clamp to contig
+    row_lo = max(0, task.start - window)
+    row_hi = min(contig_len, task.end + window)
+    ref_lo = max(0, task.start - config.EXPAND_REFERENCE_REGION)
+    ref_hi = min(contig_len, task.end + config.EXPAND_REFERENCE_REGION)
+    ref_seq = fasta.fetch(task.ctg_name, ref_lo, ref_hi)
+
+    records_iter = bam.fetch(task.ctg_name, row_lo, row_hi,
+                             exclude_flags=cfg.exclude_flags, min_mapq=cfg.min_mq)
+    events = extract_events(records_iter, row_lo, row_hi, min_bq=cfg.min_bq)
+    codes = ref_codes_from(ref_seq[row_lo - ref_lo: row_hi - ref_lo])
+    feat = builder.build_tile_features(events, codes, cfg)
+    mask = builder.candidate_mask_from(
+        feat, cfg,
+        known_positions=np.asarray(known_positions, dtype=np.int64)
+        if known_positions is not None else None,
+    )
+    return builder.build_tensors(
+        events, feat, cfg, task.ctg_name, ref_seq, ref_lo, mask,
+    )
