@@ -1,0 +1,147 @@
+"""Flax Bi-LSTM pileup genotyping network.
+
+Architecturally identical to the reference Keras `Clair3_P`
+(clair3_rna/model.py:88-216): BiLSTM(128) -> BiLSTM(160) -> flatten ->
+Dense(128, selu) -> two heads (gt21 21-way, zygosity 3-way; optionally two
+33-way variant-length heads), each Dense(selu) -> softmax — so TF checkpoints
+convert 1:1. The execution strategy is TPU-first: input projections for all 33
+timesteps are batched into single MXU matmuls before the recurrence, the
+recurrent scan runs under jit/lax.scan, and inference batches are large and
+optionally bfloat16.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from clair3_rna_tpu import config
+
+
+class LSTMLayer(nn.Module):
+    """Single-direction LSTM over [B, T, D] with Keras gate layout (i,f,g,o).
+
+    The input projection for every timestep is computed as one [B*T, D] x
+    [D, 4U] matmul (MXU-sized work) before the sequential scan; the scan then
+    only carries the [B, U] recurrence.
+    """
+
+    units: int
+    reverse: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        batch, seq_len, in_dim = x.shape
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                            (in_dim, 4 * self.units))
+        recurrent = self.param("recurrent_kernel", nn.initializers.orthogonal(),
+                               (self.units, 4 * self.units))
+        bias = self.param("bias", _keras_lstm_bias_init, (4 * self.units,))
+
+        dtype = self.compute_dtype
+        x = x.astype(dtype)
+        xproj = x @ kernel.astype(dtype) + bias.astype(dtype)  # [B, T, 4U]
+        if self.reverse:
+            xproj = jnp.flip(xproj, axis=1)
+        xproj = jnp.swapaxes(xproj, 0, 1)  # [T, B, 4U] for scan
+
+        rec = recurrent.astype(dtype)
+        units = self.units
+
+        def step(carry, xt):
+            h, c = carry
+            z = xt + h @ rec
+            i = jax.nn.sigmoid(z[:, :units])
+            f = jax.nn.sigmoid(z[:, units:2 * units])
+            g = jnp.tanh(z[:, 2 * units:3 * units])
+            o = jax.nn.sigmoid(z[:, 3 * units:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        init = (jnp.zeros((batch, units), dtype), jnp.zeros((batch, units), dtype))
+        _, hs = jax.lax.scan(step, init, xproj)
+        hs = jnp.swapaxes(hs, 0, 1)  # [B, T, U]
+        if self.reverse:
+            hs = jnp.flip(hs, axis=1)
+        return hs
+
+
+def _keras_lstm_bias_init(key, shape, dtype=jnp.float32):
+    """Keras unit_forget_bias: zeros except forget-gate chunk = 1."""
+    units = shape[0] // 4
+    b = jnp.zeros(shape, dtype)
+    return b.at[units:2 * units].set(1.0)
+
+
+class BiLSTM(nn.Module):
+    units: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = LSTMLayer(self.units, reverse=False, name="forward",
+                        compute_dtype=self.compute_dtype)(x)
+        bwd = LSTMLayer(self.units, reverse=True, name="backward",
+                        compute_dtype=self.compute_dtype)(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class PileupNet(nn.Module):
+    """gt21 + zygosity (+ variant length) pileup classifier."""
+
+    add_indel_length: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+    lstm1_units: int = 128
+    lstm2_units: int = 160
+    dense_units: int = 128
+    head_units: int = 128
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, dropout_rng=None):
+        x = x.astype(self.compute_dtype)
+        x = BiLSTM(self.lstm1_units, self.compute_dtype, name="lstm1")(x)
+        x = BiLSTM(self.lstm2_units, self.compute_dtype, name="lstm2")(x)
+        x = nn.Dropout(0.2, deterministic=not train, name="l3_dropout")(x)
+        x = x.reshape((x.shape[0], -1))
+        x = jax.nn.selu(nn.Dense(self.dense_units, name="l4")(x))
+        # NB: the reference's L4 dropout uses the LSTM2 dropout rate (0.5),
+        # clair3_rna/model.py:144
+        x = nn.Dropout(0.5, deterministic=not train, name="l4_dropout")(x)
+
+        def head(name, width):
+            h = jax.nn.selu(nn.Dense(self.head_units, name=f"{name}_dense")(x))
+            h = nn.Dropout(0.2, deterministic=not train, name=f"{name}_dropout")(h)
+            logits = jax.nn.selu(nn.Dense(width, name=f"{name}_logits")(h))
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        outputs = [head("gt21", 21), head("genotype", 3)]
+        if self.add_indel_length:
+            outputs.append(head("length1", config.NO_OF_POSITIONS))
+            outputs.append(head("length2", config.NO_OF_POSITIONS))
+        return jnp.concatenate(outputs, axis=-1)
+
+
+def make_forward_fn(add_indel_length: bool = False,
+                    compute_dtype=jnp.float32, phased: bool = False):
+    """Returns (model, jitted forward fn params,x -> probabilities)."""
+    model = PileupNet(add_indel_length=add_indel_length,
+                      compute_dtype=compute_dtype)
+
+    @jax.jit
+    def forward(params, x):
+        return model.apply({"params": params}, x)
+
+    return model, forward
+
+
+def init_params(rng, add_indel_length=False, phased=False,
+                compute_dtype=jnp.float32):
+    model = PileupNet(add_indel_length=add_indel_length,
+                      compute_dtype=compute_dtype)
+    channels = config.CHANNEL_SIZE + (config.PHASED_CHANNEL_SIZE if phased else 0)
+    x = jnp.zeros((1, config.NO_OF_POSITIONS, channels), jnp.float32)
+    return model.init(jax.random.PRNGKey(rng) if isinstance(rng, int) else rng,
+                      x)["params"]

@@ -1,0 +1,68 @@
+"""Model parity: Flax PileupNet vs the reference TF Clair3_P with converted
+weights (random init -- the released checkpoints are not downloadable here,
+but conversion + architecture equivalence is what we can and must prove)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+
+
+def _tf_model(add_indel_length, channels=18, seed=0):
+    tf = pytest.importorskip("tensorflow")
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from clair3_rna.model import Clair3_P
+
+    tf.keras.utils.set_random_seed(seed)
+    m = Clair3_P(add_indel_length=add_indel_length, predict=True)
+    x = np.zeros((2, 33, channels), dtype=np.int32)
+    m(x)  # build weights
+    return m
+
+
+@requires_reference
+@pytest.mark.parametrize("add_indel_length", [False, True])
+def test_forward_parity(reference_path, add_indel_length):
+    from clair3_rna_tpu.models.convert import params_from_keras_model
+    from clair3_rna_tpu.models.network import make_forward_fn
+
+    m = _tf_model(add_indel_length)
+    params = params_from_keras_model(m, add_indel_length=add_indel_length)
+    _, forward = make_forward_fn(add_indel_length=add_indel_length)
+
+    rng = np.random.RandomState(1)
+    x = rng.randint(-30, 30, size=(8, 33, 18)).astype(np.int32)
+    ref_out = np.asarray(m(x))
+    our_out = np.asarray(forward(params, x))
+    assert our_out.shape == ref_out.shape == (8, 24 + (66 if add_indel_length else 0))
+    np.testing.assert_allclose(our_out, ref_out, rtol=2e-4, atol=1e-6)
+    # outputs are two (or four) concatenated softmaxes
+    np.testing.assert_allclose(our_out[:, :21].sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(our_out[:, 21:24].sum(-1), 1.0, rtol=1e-5)
+
+
+@requires_reference
+def test_forward_parity_phased_channels(reference_path):
+    from clair3_rna_tpu.models.convert import params_from_keras_model
+    from clair3_rna_tpu.models.network import make_forward_fn
+
+    m = _tf_model(False, channels=30)
+    params = params_from_keras_model(m)
+    _, forward = make_forward_fn()
+    rng = np.random.RandomState(2)
+    x = rng.randint(-20, 20, size=(4, 33, 30)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(forward(params, x)), np.asarray(m(x)), rtol=2e-4, atol=1e-6)
+
+
+def test_init_and_shapes():
+    from clair3_rna_tpu.models.network import init_params, make_forward_fn
+    import numpy as np
+
+    params = init_params(0)
+    _, forward = make_forward_fn()
+    x = np.zeros((3, 33, 18), np.int32)
+    out = np.asarray(forward(params, x))
+    assert out.shape == (3, 24)
+    np.testing.assert_allclose(out[:, :21].sum(-1), 1.0, rtol=1e-5)
