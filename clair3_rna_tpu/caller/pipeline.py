@@ -1,0 +1,166 @@
+"""End-to-end calling pipeline: BAM + FASTA -> sorted VCF.
+
+Replaces the reference's process-pipe orchestration (GNU parallel spawning
+call_var_bam workers that pipe pypy create_tensor_pileup into python
+call_variants, run_clair3_rna:668-878) with an in-process streaming design:
+chunk planning -> vectorized tensor building -> batched jit inference (device)
+-> host decode -> in-memory merge/sort. Data parallelism comes from sharding
+chunks across devices/hosts (clair3_rna_tpu.parallel) instead of OS processes.
+"""
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from clair3_rna_tpu import config
+from clair3_rna_tpu.config import PileupConfig
+from clair3_rna_tpu.caller.decode import CallConfig, decode_batch
+from clair3_rna_tpu.io.bam import BamReader
+from clair3_rna_tpu.io.fasta import FastaFile
+from clair3_rna_tpu.pileup.chunk import ChunkTask, build_chunk_tensors, plan_chunks
+from clair3_rna_tpu.postprocess.sort_vcf import load_rediportal, sort_rows
+from clair3_rna_tpu.task import GT21_LABEL_INDEX
+
+logger = logging.getLogger(__name__)
+
+
+def batch_tensors(records, cfg: PileupConfig):
+    """TensorRecords -> int32 batch [N, 33, C] with the reference's
+    high-coverage renormalization (clair3_rna/utils.py:88-92: scale by
+    max_depth/depth when depth > 1.5x max_depth, then truncate back to int)."""
+    n = len(records)
+    channels = cfg.channel_size
+    X = np.empty((n, config.NO_OF_POSITIONS, channels), dtype=np.int32)
+    max_depth = config.MAX_DEPTH_BY_PLATFORM.get(cfg.platform, config.MAX_DEPTH)
+    for i, rec in enumerate(records):
+        tensor = rec.tensor
+        if rec.depth > 0 and rec.depth > max_depth * 1.5:
+            X[i] = tensor / (rec.depth / max_depth)
+        else:
+            X[i] = tensor
+    return X
+
+
+def prescreen_mask(probabilities: np.ndarray, refseq_list, show_ref: bool):
+    """Vectorized homRef early-exit (clair3_rna/call_variants.py:540-542):
+    sites certain to be RefCall can skip host decode when RefCalls are not
+    printed. Returns a boolean 'needs full decode' mask."""
+    if show_ref:
+        return np.ones(len(probabilities), dtype=bool)
+    gt21 = probabilities[:, :21]
+    genotype = probabilities[:, 21:24]
+    center = config.FLANKING_BASE_NUM
+    ref_idx = np.array([
+        GT21_LABEL_INDEX.get(seq[center] * 2 if seq[center] in "ACGT" else "AA", 0)
+        for seq in refseq_list], dtype=np.int64)
+    ref_gt21_prob = np.take_along_axis(gt21, ref_idx[:, None], axis=1)[:, 0]
+    certain_ref = (genotype[:, 0] >= 0.5) & (ref_gt21_prob >= 0.5)
+    return ~certain_ref
+
+
+@dataclass
+class CallStats:
+    candidates: int = 0
+    decoded: int = 0
+    rows: int = 0
+    build_s: float = 0.0
+    infer_s: float = 0.0
+    decode_s: float = 0.0
+
+
+def call_tensor_records(records, forward, params, cfg: PileupConfig,
+                        call_cfg: CallConfig, stats: CallStats | None = None):
+    """Run inference + decode over TensorRecords; returns VCF row strings."""
+    if not records:
+        return []
+    stats = stats if stats is not None else CallStats()
+    X = batch_tensors(records, cfg)
+    n = len(X)
+    batch = cfg.batch_size
+    probs = np.empty((n, 24 + (66 if call_cfg.add_indel_length else 0)), np.float32)
+    t0 = time.time()
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        chunk = X[lo:hi]
+        if hi - lo < batch:
+            # pad to the fixed jit batch shape; surplus rows are discarded
+            pad = np.zeros((batch - (hi - lo),) + X.shape[1:], X.dtype)
+            out = np.asarray(forward(params, np.concatenate([chunk, pad])))[:hi - lo]
+        else:
+            out = np.asarray(forward(params, chunk))
+        probs[lo:hi] = out
+    stats.infer_s += time.time() - t0
+
+    t0 = time.time()
+    refseq_list = [r.ref_seq for r in records]
+    needs_decode = prescreen_mask(probs, refseq_list, call_cfg.show_ref)
+    idx = np.nonzero(needs_decode)[0]
+    rows = decode_batch(
+        [records[i].ctg_name for i in idx],
+        [records[i].position for i in idx],
+        [refseq_list[i] for i in idx],
+        [records[i].alt_info for i in idx],
+        probs[idx], call_cfg)
+    stats.decode_s += time.time() - t0
+    stats.candidates += n
+    stats.decoded += len(idx)
+    stats.rows += len(rows)
+    return rows
+
+
+def run_calling(bam_path: str, ref_path: str, output_path: str, *,
+                cfg: PileupConfig | None = None, call_cfg: CallConfig | None = None,
+                params=None, forward=None, contigs=None, chunk_size=None,
+                rediportal_path=None, output_no_tagging_path=None,
+                sample_name=None, cmd_line=None, compress=True,
+                known_vcf_positions=None, progress=True):
+    """Full pileup calling: plan chunks, build tensors, infer, decode, merge.
+
+    params/forward default to a fresh random-init network (useful only for
+    testing; pass converted trained weights for real calling).
+    """
+    cfg = cfg or PileupConfig()
+    call_cfg = call_cfg or CallConfig()
+    if forward is None or params is None:
+        from clair3_rna_tpu.models.network import init_params, make_forward_fn
+        params = params if params is not None else init_params(0, phased=cfg.phased)
+        _, forward = make_forward_fn(add_indel_length=call_cfg.add_indel_length)
+
+    fasta = FastaFile(ref_path)
+    bam = BamReader(bam_path)
+    tasks = plan_chunks(fasta, contigs=contigs,
+                        chunk_size=chunk_size or config.CHUNK_SIZE)
+    stats = CallStats()
+    rows_by_contig: dict = {}
+    for task in tasks:
+        t0 = time.time()
+        records = build_chunk_tensors(
+            bam, fasta, task, cfg,
+            known_positions=known_vcf_positions.get(task.ctg_name)
+            if known_vcf_positions else None)
+        stats.build_s += time.time() - t0
+        rows = call_tensor_records(records, forward, params, cfg, call_cfg, stats)
+        rows_by_contig.setdefault(task.ctg_name, []).extend(rows)
+        if progress:
+            logger.info("chunk %s:%d-%d: %d candidates -> %d rows",
+                        task.ctg_name, task.start, task.end, len(records), len(rows))
+
+    rediportal = load_rediportal(rediportal_path, contigs=list(rows_by_contig))
+    outputs, n_rows, n_tagged = sort_rows(
+        rows_by_contig, output_path,
+        show_ref=call_cfg.show_ref,
+        qual_cutoff=cfg.effective_qual_cutoff,
+        rediportal=rediportal,
+        output_no_tagging_fn=output_no_tagging_path if rediportal else None,
+        reference_file_path=ref_path,
+        sample_name=sample_name or cfg.sample_name,
+        cmd_line=cmd_line, compress=compress)
+    if progress:
+        logger.info(
+            "calling done: %d candidates, %d decoded, %d rows (%d tagged); "
+            "build %.2fs infer %.2fs decode %.2fs",
+            stats.candidates, stats.decoded, n_rows, n_tagged,
+            stats.build_s, stats.infer_s, stats.decode_s)
+    return outputs, stats

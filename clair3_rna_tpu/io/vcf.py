@@ -131,8 +131,8 @@ class VcfWriter:
         self.vcf_fn = vcf_fn
         self._fp = open(vcf_fn, "w")
         if write_header:
-            self._fp.write(vcf_header(reference_file_path, cmd_line, sample_name))
-            self._fp.write("\n")
+            header = vcf_header(reference_file_path, cmd_line, sample_name)
+            self._fp.write(header.rstrip("\n") + "\n")
 
     def write_row(self, row: str):
         self._fp.write(row)

@@ -86,11 +86,11 @@ def sort_rows(rows_by_contig: dict, output_fn: str, *, show_ref=False,
     header = vcf_header(reference_file_path, cmd_line, sample_name)
 
     out = open(output_fn, "w")
-    out.write(header + "\n")
+    out.write(header.rstrip("\n") + "\n")
     out_untagged = None
     if tag_enabled:
         out_untagged = open(output_no_tagging_fn, "w")
-        out_untagged.write(header + "\n")
+        out_untagged.write(header.rstrip("\n") + "\n")
 
     n_tagged = 0
     n_rows = 0
