@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark: candidate-sites/s/chip for the pileup-build + network + decode
+inner loop, vs the reference implementation's equivalent chain.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sites/s", "vs_baseline": R}
+
+The baseline is the reference hot path measured on this machine: the
+per-column generate_tensor streaming loop (src/create_tensor_pileup.py) plus
+TF Clair3_P predict_on_batch plus batch_output decode, fed identical data.
+The measured baseline number is cached in BENCH_BASELINE_CACHE.json so the
+driver's bench run doesn't pay the TF measurement each time; delete the cache
+to re-measure.
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CACHE = os.path.join(REPO, "BENCH_BASELINE_CACHE.json")
+CONTIG_LEN = 400_000
+DEPTH = 35
+N_VARIANTS = 2200
+SEED = 1234
+
+
+def make_data(tmpdir):
+    from tests import simdata
+    from clair3_rna_tpu.io.fasta import write_fasta
+
+    rng = random.Random(SEED)
+    genome = simdata.random_genome(rng, [("chr1", CONTIG_LEN)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=N_VARIANTS)
+    fasta_path = os.path.join(tmpdir, "ref.fa")
+    bam_path = os.path.join(tmpdir, "reads.bam")
+    write_fasta(fasta_path, genome)
+    mid = CONTIG_LEN // 2
+    simdata.simulate_bam(bam_path, genome, variants, rng, depth=DEPTH,
+                         splice_sites={"chr1": [(mid - 2000, mid + 3000)]})
+    return fasta_path, bam_path
+
+
+def bench_ours(fasta_path, bam_path):
+    import numpy as np
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.caller.decode import CallConfig
+    from clair3_rna_tpu.caller.pipeline import batch_tensors, prescreen_mask, decode_batch
+    from clair3_rna_tpu.io.bam import BamReader
+    from clair3_rna_tpu.io.fasta import FastaFile
+    from clair3_rna_tpu.models.network import init_params, make_forward_fn
+    from clair3_rna_tpu.pileup.chunk import ChunkTask, build_chunk_tensors
+
+    cfg = PileupConfig(batch_size=2048)
+    call_cfg = CallConfig(show_ref=False)
+    bam = BamReader(bam_path)
+    fasta = FastaFile(fasta_path)
+    task = ChunkTask("chr1", 0, CONTIG_LEN)
+
+    t0 = time.time()
+    records = build_chunk_tensors(bam, fasta, task, cfg)
+    t_build = time.time() - t0
+    n = len(records)
+    if n == 0:
+        raise RuntimeError("bench produced no candidates")
+
+    params = init_params(0)
+    _, forward = make_forward_fn()
+    X = batch_tensors(records, cfg)
+    pad_n = (-n) % cfg.batch_size
+    Xp = np.concatenate([X, np.zeros((pad_n,) + X.shape[1:], X.dtype)]) if pad_n else X
+    batches = Xp.reshape(-1, cfg.batch_size, *X.shape[1:])
+    # warmup/compile
+    np.asarray(forward(params, batches[0]))
+    t0 = time.time()
+    outs = [np.asarray(forward(params, b)) for b in batches]
+    t_infer = time.time() - t0
+    probs = np.concatenate(outs)[:n]
+
+    t0 = time.time()
+    refseq_list = [r.ref_seq for r in records]
+    mask = prescreen_mask(probs, refseq_list, call_cfg.show_ref)
+    idx = np.nonzero(mask)[0]
+    decode_batch([records[i].ctg_name for i in idx],
+                 [records[i].position for i in idx],
+                 [refseq_list[i] for i in idx],
+                 [records[i].alt_info for i in idx],
+                 probs[idx], call_cfg)
+    t_decode = time.time() - t0
+
+    total = t_build + t_infer + t_decode
+    return {
+        "n_candidates": n,
+        "build_s": t_build,
+        "infer_s": t_infer,
+        "decode_s": t_decode,
+        "sites_per_s": n / total,
+    }
+
+
+def bench_reference(fasta_path, bam_path, max_seconds=600):
+    """Reference chain on the same data: generate_tensor loop + TF + decode."""
+    sys.path.insert(0, "/root/reference")
+    import numpy as np
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    from tests.ref_harness import reference_tensor_rows
+    import clair3_rna.call_variants as cv
+    from clair3_rna.model import Clair3_P
+
+    # tensor build: the streaming generate_tensor loop (time includes the
+    # ring-buffer windowing, excludes mpileup text production which samtools
+    # does in C for the reference)
+    t0 = time.time()
+    rows = reference_tensor_rows(bam_path, fasta_path, "chr1", 0, CONTIG_LEN)
+    t_build = time.time() - t0
+    n = len(rows)
+
+    m = Clair3_P(add_indel_length=False, predict=True)
+    m(np.zeros((1, 33, 18), np.int32))
+
+    tensors, positions, alt_infos = [], [], []
+    for row in rows:
+        chrom, coord, seq, tensor, alt_info = row.split("\t")
+        tensors.append(np.array(tensor.split(), dtype=np.int32).reshape(33, 18))
+        positions.append(chrom + ":" + coord + ":" + seq)
+        alt_infos.append(alt_info)
+    X = np.stack(tensors)
+
+    output_config = cv.OutputConfig(
+        is_show_reference=False, is_debug=False,
+        is_haploid_precise_mode_enabled=False,
+        is_haploid_sensitive_mode_enabled=False,
+        is_output_for_ensemble=False, quality_score_for_pass=None,
+        tensor_fn="PIPE", input_probabilities=False, add_indel_length=False,
+        gvcf=False, pileup=True, enable_long_indel=False,
+        maximum_variant_length_that_need_infer=50, keep_iupac_bases=False)
+    sink = []
+    output_utilities = cv.OutputUtilities(
+        lambda *a, **k: None, sink.append, lambda: None, lambda: None, lambda: None)
+
+    batch = 200
+    m.predict_on_batch(X[:batch])  # warmup
+    t0 = time.time()
+    for lo in range(0, n, batch):
+        chunk = X[lo:lo + batch]
+        pred = m.predict_on_batch(chunk)
+        cv.batch_output(positions[lo:lo + batch], alt_infos[lo:lo + batch],
+                        np.asarray(pred), output_config, output_utilities)
+    t_infer_decode = time.time() - t0
+
+    total = t_build + t_infer_decode
+    return {
+        "n_candidates": n,
+        "build_s": t_build,
+        "infer_decode_s": t_infer_decode,
+        "sites_per_s": n / total,
+        "note": ("reference build time is the CPython generate_tensor loop fed "
+                 "by pre-built pileup columns; mpileup text production cost is "
+                 "excluded (conservative in the reference's favor)"),
+    }
+
+
+def main():
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        fasta_path, bam_path = make_data(tmpdir)
+        ours = bench_ours(fasta_path, bam_path)
+
+        baseline = None
+        if os.path.exists(CACHE):
+            try:
+                baseline = json.load(open(CACHE))
+            except Exception:
+                baseline = None
+        if baseline is None or baseline.get("config") != [CONTIG_LEN, DEPTH, N_VARIANTS, SEED]:
+            try:
+                ref = bench_reference(fasta_path, bam_path)
+                baseline = {"config": [CONTIG_LEN, DEPTH, N_VARIANTS, SEED], **ref}
+                with open(CACHE, "w") as f:
+                    json.dump(baseline, f, indent=1)
+            except Exception as exc:
+                baseline = {"sites_per_s": None, "error": str(exc)}
+
+    vs = (ours["sites_per_s"] / baseline["sites_per_s"]
+          if baseline.get("sites_per_s") else None)
+    result = {
+        "metric": "candidate-sites/s/chip (pileup build + Bi-LSTM + decode)",
+        "value": round(ours["sites_per_s"], 1),
+        "unit": "sites/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "detail": {"ours": ours, "baseline": baseline},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Top-level calling orchestration (the run_clair3_rna equivalent).
+
+Resolves contigs/regions, loads weights, runs the pileup pass, and optionally
+the phasing pass (phase -> haplotag -> 30-channel re-call), then merges
+outputs (run_clair3_rna:668-878 workflow, without shell process plumbing).
+"""
+
+import logging
+import os
+
+from clair3_rna_tpu import config
+from clair3_rna_tpu.caller.decode import CallConfig
+from clair3_rna_tpu.caller.pipeline import run_calling
+from clair3_rna_tpu.io.bam import BamReader
+from clair3_rna_tpu.io.bed import BedRegions
+from clair3_rna_tpu.io.fasta import FastaFile
+from clair3_rna_tpu.io.vcf import VcfReader
+from clair3_rna_tpu.postprocess.sort_vcf import MAJOR_CONTIGS_ORDER
+
+logger = logging.getLogger(__name__)
+
+
+def resolve_contigs(bam: BamReader, fasta: FastaFile, ctg_name=None,
+                    include_all_ctgs=False, bed_regions=None):
+    """Contig intersection logic (run_clair3_rna:314-451): BAM ∩ FASTA,
+    restricted to major contigs unless include_all_ctgs, further filtered by
+    explicit list / bed."""
+    contigs = [c for c in fasta.contigs if c in bam.ref_index]
+    if ctg_name:
+        wanted = ctg_name.split(",") if isinstance(ctg_name, str) else list(ctg_name)
+        contigs = [c for c in contigs if c in set(wanted)]
+    elif not include_all_ctgs:
+        major = set(MAJOR_CONTIGS_ORDER)
+        major_found = [c for c in contigs if c in major]
+        if major_found:
+            contigs = major_found
+    if bed_regions is not None:
+        contigs = [c for c in contigs if not bed_regions.is_empty(c)]
+    return contigs
+
+
+def load_model(model_path, add_indel_length=False, phased=False):
+    from clair3_rna_tpu.models.network import init_params, make_forward_fn
+    if model_path:
+        from clair3_rna_tpu.models.params_io import resolve_params
+        params = resolve_params(model_path, add_indel_length=add_indel_length)
+    else:
+        logger.warning("[WARNING] no --model_path given: using RANDOM weights "
+                       "(testing only, calls will be meaningless)")
+        params = init_params(0, add_indel_length=add_indel_length, phased=phased)
+    _, forward = make_forward_fn(add_indel_length=add_indel_length)
+    return params, forward
+
+
+def run_full_calling(args, cfg, call_cfg: CallConfig):
+    os.makedirs(args.output_dir, exist_ok=True)
+    fasta = FastaFile(args.ref_fn)
+    bam = BamReader(args.bam_fn)
+
+    bed_regions = None
+    ctg_filter = args.ctg_name
+    if args.region:
+        from clair3_rna_tpu.cli import _parse_region
+        ctg, bed_regions = _parse_region(args.region)
+        ctg_filter = ctg
+    elif args.bed_fn:
+        bed_regions = BedRegions.from_file(args.bed_fn)
+
+    contigs = resolve_contigs(bam, fasta, ctg_name=ctg_filter,
+                              include_all_ctgs=args.include_all_ctgs,
+                              bed_regions=bed_regions)
+    if not contigs:
+        raise SystemExit("[ERROR] no contigs shared between BAM and reference "
+                         "(use --include_all_ctgs for non-standard names)")
+    logger.info("[INFO] calling %d contig(s): %s", len(contigs),
+                ",".join(contigs[:8]) + ("..." if len(contigs) > 8 else ""))
+
+    known_positions = None
+    if args.vcf_fn:
+        reader = VcfReader(args.vcf_fn)
+        known_positions = {}
+        for (ctg, pos) in reader.variant_dict:
+            known_positions.setdefault(ctg, []).append(pos - 1)
+
+    params, forward = load_model(args.model_path, phased=cfg.phased)
+
+    rediportal_path = args.readiportal_source_fn \
+        if args.tag_variant_using_readiportal else None
+    output_path = os.path.join(args.output_dir, "output.vcf")
+    outputs, stats = run_calling(
+        args.bam_fn, args.ref_fn, output_path,
+        cfg=cfg, call_cfg=call_cfg, params=params, forward=forward,
+        contigs=contigs, chunk_size=args.chunk_size,
+        rediportal_path=rediportal_path,
+        output_no_tagging_path=os.path.join(
+            args.output_dir, "output_no_editing_tagging.vcf"),
+        sample_name=args.sample_name,
+        cmd_line=" ".join(os.sys.argv),
+        compress=not args.no_compress,
+        known_vcf_positions=known_positions,
+        bed_regions=bed_regions,
+    )
+    logger.info("[INFO] pileup calling finished: %s", ", ".join(outputs))
+
+    if getattr(args, "enable_phasing_model", False):
+        outputs += run_phasing_pass(args, cfg, call_cfg, contigs, outputs[0])
+    return outputs
+
+
+def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
+    """Second pass: phase first-pass hets, haplotag reads, re-call with the
+    30-channel phasing model (run_clair3_rna:729-852)."""
+    from clair3_rna_tpu.phasing.pipeline import phase_and_haplotag
+    import os
+
+    tagged_bam = os.path.join(args.output_dir, "phased_tagged.bam")
+    phase_and_haplotag(args.bam_fn, args.ref_fn, first_pass_vcf, tagged_bam,
+                       contigs=contigs)
+    phased_cfg = cfg.with_(phased=True)
+    params, forward = load_model(args.phased_model_path, phased=True)
+    output_path = os.path.join(args.output_dir, "output_enable_phasing.vcf")
+    rediportal_path = args.readiportal_source_fn \
+        if args.tag_variant_using_readiportal else None
+    outputs, _ = run_calling(
+        tagged_bam, args.ref_fn, output_path,
+        cfg=phased_cfg, call_cfg=call_cfg, params=params, forward=forward,
+        contigs=contigs, chunk_size=args.chunk_size,
+        rediportal_path=rediportal_path,
+        output_no_tagging_path=os.path.join(
+            args.output_dir, "output_enable_phasing_no_editing_tagging.vcf"),
+        sample_name=args.sample_name, compress=not args.no_compress)
+    logger.info("[INFO] phasing-model calling finished: %s", ", ".join(outputs))
+    return outputs

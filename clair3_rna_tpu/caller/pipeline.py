@@ -115,7 +115,7 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 params=None, forward=None, contigs=None, chunk_size=None,
                 rediportal_path=None, output_no_tagging_path=None,
                 sample_name=None, cmd_line=None, compress=True,
-                known_vcf_positions=None, progress=True):
+                known_vcf_positions=None, bed_regions=None, progress=True):
     """Full pileup calling: plan chunks, build tensors, infer, decode, merge.
 
     params/forward default to a fresh random-init network (useful only for
@@ -139,7 +139,8 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         records = build_chunk_tensors(
             bam, fasta, task, cfg,
             known_positions=known_vcf_positions.get(task.ctg_name)
-            if known_vcf_positions else None)
+            if known_vcf_positions else None,
+            bed_regions=bed_regions)
         stats.build_s += time.time() - t0
         rows = call_tensor_records(records, forward, params, cfg, call_cfg, stats)
         rows_by_contig.setdefault(task.ctg_name, []).extend(rows)

@@ -1,0 +1,187 @@
+"""Command-line interface.
+
+Mirrors the user surface of `run_clair3_rna` (run_clair3_rna:881-1254) and the
+submodule dispatcher (clair3_rna.py:82-104), minus the multi-process shell
+plumbing: one process plans chunks and streams them through the device.
+
+  python -m clair3_rna_tpu call -B reads.bam -R ref.fa -o outdir -p ont_dorado_drna004
+  python -m clair3_rna_tpu sort_vcf --input_dir dir --output_fn out.vcf ...
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+from clair3_rna_tpu import __version__, config
+
+
+def _add_call_parser(subparsers):
+    p = subparsers.add_parser("call", help="call small variants from an RNA BAM")
+    p.add_argument("-B", "--bam_fn", required=True, help="sorted BAM input")
+    p.add_argument("-R", "--ref_fn", required=True, help="reference FASTA")
+    p.add_argument("-o", "--output_dir", required=True, help="output directory")
+    p.add_argument("-p", "--platform", default="ont_dorado_drna004",
+                   help="sequencing platform preset "
+                        f"({', '.join(sorted(config.SUPPORTED_FULL_PLATFORMS))})")
+    p.add_argument("-t", "--threads", type=int, default=os.cpu_count(),
+                   help="host worker threads for extraction")
+    p.add_argument("--model_path", default=None,
+                   help=".npz weights or reference TF checkpoint prefix")
+    p.add_argument("--phased_model_path", default=None,
+                   help="weights for the phasing (30-channel) pass")
+    p.add_argument("--ctg_name", default=None,
+                   help="comma-separated contigs to call (default: all in BAM)")
+    p.add_argument("--region", default=None, help="ctg:start-end region to call")
+    p.add_argument("--bed_fn", default=None, help="call only inside these regions")
+    p.add_argument("--vcf_fn", default=None,
+                   help="known sites VCF: call genotypes at these sites only")
+    p.add_argument("--snp_min_af", type=float, default=config.SNP_MIN_AF)
+    p.add_argument("--indel_min_af", type=float, default=config.INDEL_MIN_AF)
+    p.add_argument("--min_coverage", type=int, default=config.MIN_COVERAGE)
+    p.add_argument("--min_mq", type=int, default=config.MIN_MQ)
+    p.add_argument("--min_bq", type=int, default=config.MIN_BQ)
+    p.add_argument("--qual", type=float, default=None,
+                   help="LowQual threshold (default: platform preset)")
+    p.add_argument("--chunk_size", type=int, default=config.CHUNK_SIZE)
+    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--sample_name", default="SAMPLE")
+    p.add_argument("--print_ref_calls", action="store_true",
+                   help="show reference calls (RefCall) in VCF")
+    p.add_argument("--gvcf", action="store_true", help="also produce GVCF output")
+    p.add_argument("--fast_mode", action="store_true")
+    p.add_argument("--call_snp_only", action="store_true")
+    p.add_argument("--enable_phasing_model", action="store_true",
+                   help="run the second, haplotagged-read calling pass")
+    p.add_argument("--enable_variant_calling_at_sequence_head_and_tail",
+                   action="store_true")
+    p.add_argument("--enable_padding_in_splice_junction_regions",
+                   action="store_true")
+    p.add_argument("--enable_long_indel", action="store_true")
+    p.add_argument("--keep_iupac_bases", action="store_true")
+    p.add_argument("--haploid_precise", action="store_true")
+    p.add_argument("--haploid_sensitive", action="store_true")
+    p.add_argument("--tag_variant_using_readiportal", action="store_true")
+    p.add_argument("--readiportal_source_fn", default=None)
+    p.add_argument("--readiportal_database_filter_tag",
+                   default=config.REDIPORTAL_FILTER_TAGS)
+    p.add_argument("--include_all_ctgs", action="store_true")
+    p.add_argument("--no_compress", action="store_true")
+    return p
+
+
+def _parse_region(region):
+    """ctg:start-end (1-based, inclusive) -> BedRegions matching the
+    reference's quirk of using end-1 as the half-open end
+    (shared/interval_tree.py:22-32)."""
+    from clair3_rna_tpu.io.bed import BedRegions
+    ctg, start_end = region.split(":")
+    start, end = start_end.split("-")
+    lo, hi = int(start) - 1, int(end) - 1
+    if hi < lo or lo < 0:
+        raise SystemExit(f"[ERROR] invalid region: {region}")
+    return ctg, BedRegions({ctg: [(lo, max(hi, lo + 1))]})
+
+
+def run_call(args):
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.caller.decode import CallConfig
+    from clair3_rna_tpu.caller.driver import run_full_calling
+
+    full_platform = config.PLATFORM_ALIASES.get(args.platform, args.platform)
+    if full_platform not in config.SUPPORTED_FULL_PLATFORMS \
+            and full_platform not in config.SUPPORTED_PLATFORMS:
+        raise SystemExit(f"[ERROR] unsupported platform {args.platform}")
+
+    cfg = PileupConfig.for_platform(
+        full_platform,
+        min_mq=args.min_mq, min_bq=args.min_bq,
+        min_coverage=args.min_coverage,
+        snp_min_af=args.snp_min_af, indel_min_af=args.indel_min_af,
+        fast_mode=args.fast_mode, call_snp_only=args.call_snp_only,
+        enable_head_tail=args.enable_variant_calling_at_sequence_head_and_tail,
+        enable_splice_padding=args.enable_padding_in_splice_junction_regions,
+        show_ref=args.print_ref_calls,
+        qual_cutoff=args.qual,
+        enable_long_indel=args.enable_long_indel,
+        sample_name=args.sample_name,
+        batch_size=args.batch_size,
+    )
+    call_cfg = CallConfig(
+        show_ref=args.print_ref_calls, qual=None, gvcf=args.gvcf,
+        enable_long_indel=args.enable_long_indel,
+        keep_iupac_bases=args.keep_iupac_bases,
+        haploid_precise=args.haploid_precise,
+        haploid_sensitive=args.haploid_sensitive,
+    )
+    return run_full_calling(args, cfg, call_cfg)
+
+
+def _add_sort_parser(subparsers):
+    p = subparsers.add_parser("sort_vcf", help="merge/sort per-chunk VCFs")
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--output_fn", required=True)
+    p.add_argument("--vcf_fn_prefix", default="pileup_")
+    p.add_argument("--ref_fn", default=None)
+    p.add_argument("--contigs_fn", default=None)
+    p.add_argument("--sample_name", default="SAMPLE")
+    p.add_argument("--qual", type=float, default=None)
+    p.add_argument("--show_ref", action="store_true")
+    p.add_argument("--tag_variant_using_readiportal", action="store_true")
+    p.add_argument("--readiportal_source_fn", default=None)
+    p.add_argument("--output_no_tagging_fn", default=None)
+    p.add_argument("--no_compress", action="store_true")
+    return p
+
+
+def run_sort(args):
+    from clair3_rna_tpu.postprocess.sort_vcf import load_rediportal, sort_vcf_files
+
+    if args.contigs_fn and os.path.exists(args.contigs_fn):
+        contigs = [l.strip() for l in open(args.contigs_fn) if l.strip()]
+    else:
+        contigs = sorted({fn.split("_")[1] for fn in os.listdir(args.input_dir)
+                          if fn.startswith(args.vcf_fn_prefix)})
+    rediportal = load_rediportal(
+        args.readiportal_source_fn if args.tag_variant_using_readiportal else None,
+        contigs=contigs)
+    outputs, n_rows, n_tagged = sort_vcf_files(
+        args.input_dir, args.output_fn, contigs,
+        vcf_fn_prefix=args.vcf_fn_prefix,
+        show_ref=args.show_ref, qual_cutoff=args.qual,
+        rediportal=rediportal,
+        output_no_tagging_fn=args.output_no_tagging_fn if rediportal else None,
+        reference_file_path=args.ref_fn, sample_name=args.sample_name,
+        compress=not args.no_compress)
+    print(f"[INFO] wrote {n_rows} rows ({n_tagged} RNAEditing-tagged) "
+          f"-> {', '.join(outputs)}")
+
+
+def main(argv=None):
+    logging.basicConfig(format="%(message)s", level=logging.INFO)
+    parser = argparse.ArgumentParser(
+        prog="clair3_rna_tpu",
+        description=f"Clair3-RNA-TPU v{__version__}: TPU-native long-read "
+                    "RNA-seq small variant calling")
+    parser.add_argument("--version", action="version",
+                        version=f"clair3_rna_tpu {__version__}")
+    subparsers = parser.add_subparsers(dest="command")
+    _add_call_parser(subparsers)
+    _add_sort_parser(subparsers)
+    from clair3_rna_tpu.bench_tools.cli import add_tool_parsers
+    add_tool_parsers(subparsers)
+
+    args = parser.parse_args(argv)
+    if args.command == "call":
+        return run_call(args)
+    if args.command == "sort_vcf":
+        return run_sort(args)
+    from clair3_rna_tpu.bench_tools.cli import dispatch_tool
+    if dispatch_tool(args):
+        return None
+    parser.print_help()
+    return None
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,8 @@ CONSUMES_REF = (True, False, True, True, False, False, False, True, True)
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
 SEQ_NT16_INDEX = {b: i for i, b in enumerate(SEQ_NT16)}
+# packed byte -> two-character expansion for fast seq decode
+_SEQ_PAIR = [SEQ_NT16[b >> 4] + SEQ_NT16[b & 0xF] for b in range(256)]
 
 FLAG_PAIRED = 0x1
 FLAG_UNMAP = 0x4
@@ -102,11 +104,7 @@ def _decode_record(buf: bytes) -> BamRecord:
     off += 4 * n_cigar
     seq_bytes = buf[off:off + (l_seq + 1) // 2]
     off += (l_seq + 1) // 2
-    seq_chars = []
-    for b in seq_bytes:
-        seq_chars.append(SEQ_NT16[b >> 4])
-        seq_chars.append(SEQ_NT16[b & 0xF])
-    seq = "".join(seq_chars[:l_seq])
+    seq = "".join(map(_SEQ_PAIR.__getitem__, seq_bytes))[:l_seq]
     qual = buf[off:off + l_seq]
     off += l_seq
     tags = _parse_tags(buf[off:])
@@ -143,9 +141,15 @@ class BamReader:
             self.reference_lengths[name] = l_ref
         self._records_start = off
         self._data = data
+        self._decoded = None  # lazy one-shot decode cache
         self.ref_index = {name: i for i, name in enumerate(self.references)}
 
-    def __iter__(self):
+    def _ensure_decoded(self):
+        if self._decoded is None:
+            self._decoded = list(self._iter_raw())
+        return self._decoded
+
+    def _iter_raw(self):
         data = self._data
         off = self._records_start
         n = len(data)
@@ -155,13 +159,16 @@ class BamReader:
             yield _decode_record(data[off:off + block_size])
             off += block_size
 
+    def __iter__(self):
+        return iter(self._ensure_decoded())
+
     def fetch(self, contig: str, start: int = 0, end: int | None = None,
               exclude_flags: int = 0, min_mapq: int = 0):
         """Yield records overlapping [start, end) on contig (0-based)."""
         want_ref = self.ref_index[contig]
         if end is None:
             end = self.reference_lengths[contig]
-        for rec in self:
+        for rec in self._ensure_decoded():
             if rec.ref_id != want_ref:
                 if rec.ref_id > want_ref >= 0:
                     break

@@ -374,17 +374,16 @@ def build_tensors(events: PileupEvents, feat: TileFeatures, cfg: PileupConfig,
 
     last_covered = int(np.nonzero(feat.covered)[0][-1]) if feat.covered.any() else -1
 
+    # int64 keys: searchsorted with a python-int needle on an int32 array
+    # would re-cast the whole array per call
     sorters = {
         "base_order": np.argsort(events.base_pos, kind="stable"),
         "ins_order": np.argsort(events.ins_pos, kind="stable"),
         "del_order": np.argsort(events.del_pos, kind="stable"),
     }
-    sorters["base_pos_sorted"] = events.base_pos[sorters["base_order"]] \
-        if len(events.base_pos) else events.base_pos
-    sorters["ins_pos_sorted"] = events.ins_pos[sorters["ins_order"]] \
-        if len(events.ins_pos) else events.ins_pos
-    sorters["del_pos_sorted"] = events.del_pos[sorters["del_order"]] \
-        if len(events.del_pos) else events.del_pos
+    sorters["base_pos_sorted"] = events.base_pos[sorters["base_order"]].astype(np.int64)
+    sorters["ins_pos_sorted"] = events.ins_pos[sorters["ins_order"]].astype(np.int64)
+    sorters["del_pos_sorted"] = events.del_pos[sorters["del_order"]].astype(np.int64)
 
     records = []
     emitted_centers = set()  # splice-mode depth_dict deletion quirk

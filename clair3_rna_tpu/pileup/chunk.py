@@ -47,9 +47,16 @@ def ref_codes_from(seq: str) -> np.ndarray:
 
 
 def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
-                        cfg: PileupConfig, known_positions=None):
+                        cfg: PileupConfig, known_positions=None,
+                        bed_regions=None):
     """Produce TensorRecords for one chunk (the reference pipeline's unit of
-    work). Returns records ordered by center position."""
+    work). Returns records ordered by center position.
+
+    bed_regions restricts calling like the reference's --bed_fn: pileup rows
+    exist only within bed +-33 (split_extend_bed + mpileup -l,
+    run_clair3_rna:268-296) and candidates must overlap the bed accounting
+    for their deletion span (src/create_tensor_pileup.py:551-554).
+    """
     window = config.NO_OF_POSITIONS
     contig_len = fasta.contig_length(task.ctg_name)
     # mpileup rows cover the +-33 extended region; clamp to contig
@@ -64,11 +71,31 @@ def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
     events = extract_events(records_iter, row_lo, row_hi, min_bq=cfg.min_bq)
     codes = ref_codes_from(ref_seq[row_lo - ref_lo: row_hi - ref_lo])
     feat = builder.build_tile_features(events, codes, cfg)
+
+    bed_mask = None
+    if bed_regions is not None:
+        extended = _extend_regions(bed_regions, task.ctg_name, window)
+        feat.covered &= extended.mask_for_range(task.ctg_name, row_lo, row_hi)
+        positions = np.arange(row_lo, row_hi, dtype=np.int64)
+        bed_mask = bed_regions.overlaps(
+            task.ctg_name, positions, positions + feat.max_del_length + 2)
+
     mask = builder.candidate_mask_from(
-        feat, cfg,
+        feat, cfg, bed_mask=bed_mask,
         known_positions=np.asarray(known_positions, dtype=np.int64)
         if known_positions is not None else None,
     )
     return builder.build_tensors(
         events, feat, cfg, task.ctg_name, ref_seq, ref_lo, mask,
     )
+
+
+def _extend_regions(bed_regions, ctg_name, pad):
+    """bed +-pad, mirroring split_extend_bed (run_clair3_rna:268-296)."""
+    from clair3_rna_tpu.io.bed import BedRegions
+    if ctg_name not in bed_regions.starts:
+        return BedRegions({ctg_name: []})
+    intervals = [(max(0, int(s) - pad), int(e) + pad)
+                 for s, e in zip(bed_regions.starts[ctg_name],
+                                 bed_regions.ends[ctg_name])]
+    return BedRegions({ctg_name: intervals})
