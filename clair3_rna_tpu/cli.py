@@ -168,7 +168,7 @@ def main(argv=None):
     subparsers = parser.add_subparsers(dest="command")
     _add_call_parser(subparsers)
     _add_sort_parser(subparsers)
-    from clair3_rna_tpu.bench_tools.cli import add_tool_parsers
+    from clair3_rna_tpu.evaluation.cli_tools import add_tool_parsers
     add_tool_parsers(subparsers)
 
     args = parser.parse_args(argv)
@@ -176,7 +176,7 @@ def main(argv=None):
         return run_call(args)
     if args.command == "sort_vcf":
         return run_sort(args)
-    from clair3_rna_tpu.bench_tools.cli import dispatch_tool
+    from clair3_rna_tpu.evaluation.cli_tools import dispatch_tool
     if dispatch_tool(args):
         return None
     parser.print_help()
