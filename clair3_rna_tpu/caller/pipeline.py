@@ -128,8 +128,9 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         params = params if params is not None else init_params(0, phased=cfg.phased)
         _, forward = make_forward_fn(add_indel_length=call_cfg.add_indel_length)
 
+    from clair3_rna_tpu.pileup.chunk import open_bam
     fasta = FastaFile(ref_path)
-    bam = BamReader(bam_path)
+    bam = open_bam(bam_path)
     tasks = plan_chunks(fasta, contigs=contigs,
                         chunk_size=chunk_size or config.CHUNK_SIZE)
     stats = CallStats()

@@ -1,0 +1,781 @@
+// Native host-side BAM decode + pileup event extraction.
+//
+// The TPU-native analogue of the reference's htslib dependency: the reference
+// leans on samtools/htslib (C) for BAM -> mpileup text
+// (src/create_tensor_pileup.py:438-451); here the equivalent native component
+// decodes BAM (BGZF/zlib inflate + record parse) and expands CIGARs directly
+// into the packed event arrays consumed by the vectorized/TPU channel-count
+// builder (clair3_rna_tpu/pileup/events.py documents the array semantics;
+// this produces identical arrays, differential-tested in
+// tests/test_native_events.py).
+//
+// Build: g++ -O3 -shared -fPIC pileup_native.cc -o libpileup_native.so -lz
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct RecordView {
+  int32_t ref_id;
+  int32_t pos;
+  uint16_t flag;
+  uint8_t mapq;
+  int32_t end;          // reference end (exclusive)
+  const uint8_t* body;  // record body (after block_size)
+  int32_t body_len;
+};
+
+struct BamFile {
+  std::vector<uint8_t> data;           // decompressed BAM stream
+  std::vector<std::string> ref_names;
+  std::vector<int64_t> ref_lens;
+  std::vector<RecordView> records;     // coordinate order as stored
+};
+
+constexpr int CIGAR_M = 0, CIGAR_I = 1, CIGAR_D = 2, CIGAR_N = 3, CIGAR_S = 4,
+              CIGAR_H = 5, CIGAR_P = 6, CIGAR_EQ = 7, CIGAR_X = 8;
+
+inline bool consumes_ref(int op) {
+  return op == CIGAR_M || op == CIGAR_D || op == CIGAR_N || op == CIGAR_EQ ||
+         op == CIGAR_X;
+}
+
+const char SEQ_NT16[] = "=ACMGRSVTWYHKDBN";
+
+// base code: A=0 C=1 G=2 T=3, else -1 (N etc. enter no channel)
+inline int8_t code_of_nt16(uint8_t nt16) {
+  switch (nt16) {
+    case 1: return 0;   // A
+    case 2: return 1;   // C
+    case 4: return 2;   // G
+    case 8: return 3;   // T
+    default: return -1;
+  }
+}
+
+bool bgzf_decompress_all(const uint8_t* src, size_t n, std::vector<uint8_t>* out) {
+  size_t pos = 0;
+  out->clear();
+  out->reserve(n * 3);
+  std::vector<uint8_t> buf(1 << 16);
+  while (pos + 18 <= n) {
+    if (src[pos] != 0x1f || src[pos + 1] != 0x8b) return false;
+    uint16_t xlen;
+    memcpy(&xlen, src + pos + 10, 2);
+    size_t extra = pos + 12;
+    int32_t bsize = -1;
+    size_t i = extra;
+    while (i + 4 <= extra + xlen) {
+      uint8_t si1 = src[i], si2 = src[i + 1];
+      uint16_t slen;
+      memcpy(&slen, src + i + 2, 2);
+      if (si1 == 0x42 && si2 == 0x43 && slen == 2) {
+        uint16_t v;
+        memcpy(&v, src + i + 4, 2);
+        bsize = v + 1;
+      }
+      i += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    const uint8_t* payload = src + pos + 12 + xlen;
+    size_t payload_len = bsize - 12 - xlen - 8;
+    z_stream zs{};
+    if (inflateInit2(&zs, -15) != Z_OK) return false;
+    zs.next_in = const_cast<uint8_t*>(payload);
+    zs.avail_in = static_cast<uInt>(payload_len);
+    while (true) {
+      zs.next_out = buf.data();
+      zs.avail_out = static_cast<uInt>(buf.size());
+      int rc = inflate(&zs, Z_FINISH);
+      out->insert(out->end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
+      if (rc == Z_STREAM_END) break;
+      if (rc != Z_OK && rc != Z_BUF_ERROR) {
+        inflateEnd(&zs);
+        return false;
+      }
+      if (zs.avail_in == 0 && rc == Z_BUF_ERROR) break;
+    }
+    inflateEnd(&zs);
+    pos += bsize;
+  }
+  return true;
+}
+
+int32_t reference_span(const uint8_t* body) {
+  uint8_t l_read_name = body[8];
+  uint16_t n_cigar;
+  memcpy(&n_cigar, body + 12, 2);
+  const uint8_t* cig = body + 32 + l_read_name;
+  int32_t span = 0;
+  for (int k = 0; k < n_cigar; ++k) {
+    uint32_t v;
+    memcpy(&v, cig + 4 * k, 4);
+    int op = v & 0xF;
+    if (consumes_ref(op)) span += v >> 4;
+  }
+  return span;
+}
+
+template <typename T>
+T* steal(std::vector<T>& v) {
+  T* p = static_cast<T*>(malloc(v.size() * sizeof(T) + 1));
+  memcpy(p, v.data(), v.size() * sizeof(T));
+  return p;
+}
+
+int parse_hp_tag(const uint8_t* tags, const uint8_t* end) {
+  const uint8_t* p = tags;
+  while (p + 3 <= end) {
+    char t0 = p[0], t1 = p[1], typ = p[2];
+    p += 3;
+    int64_t val = 0;
+    bool is_hp = (t0 == 'H' && t1 == 'P');
+    switch (typ) {
+      case 'A': case 'c': val = static_cast<int8_t>(*p); p += 1; break;
+      case 'C': val = *p; p += 1; break;
+      case 's': { int16_t v; memcpy(&v, p, 2); val = v; p += 2; break; }
+      case 'S': { uint16_t v; memcpy(&v, p, 2); val = v; p += 2; break; }
+      case 'i': { int32_t v; memcpy(&v, p, 4); val = v; p += 4; break; }
+      case 'I': { uint32_t v; memcpy(&v, p, 4); val = v; p += 4; break; }
+      case 'f': p += 4; break;
+      case 'Z': case 'H':
+        while (p < end && *p) ++p;
+        ++p;
+        break;
+      case 'B': {
+        char sub = static_cast<char>(*p);
+        uint32_t count;
+        memcpy(&count, p + 1, 4);
+        p += 5;
+        int sz = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+        p += static_cast<int64_t>(count) * sz;
+        break;
+      }
+      default:
+        return 0;  // unknown tag type: bail
+    }
+    if (is_hp && typ != 'f' && typ != 'Z' && typ != 'H' && typ != 'B') {
+      if (val >= 0 && val <= 2) return static_cast<int>(val);
+      return 0;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bam_open(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> raw(size);
+  if (fread(raw.data(), 1, size, f) != static_cast<size_t>(size)) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  auto* bam = new BamFile();
+  if (!bgzf_decompress_all(raw.data(), raw.size(), &bam->data) ||
+      bam->data.size() < 12 || memcmp(bam->data.data(), "BAM\x01", 4) != 0) {
+    delete bam;
+    return nullptr;
+  }
+  const uint8_t* d = bam->data.data();
+  size_t n = bam->data.size();
+  int32_t l_text;
+  memcpy(&l_text, d + 4, 4);
+  size_t off = 8 + l_text;
+  int32_t n_ref;
+  memcpy(&n_ref, d + off, 4);
+  off += 4;
+  for (int i = 0; i < n_ref; ++i) {
+    int32_t l_name;
+    memcpy(&l_name, d + off, 4);
+    bam->ref_names.emplace_back(reinterpret_cast<const char*>(d + off + 4),
+                                l_name - 1);
+    int32_t l_ref;
+    memcpy(&l_ref, d + off + 4 + l_name, 4);
+    bam->ref_lens.push_back(l_ref);
+    off += 8 + l_name;
+  }
+  while (off + 4 <= n) {
+    int32_t block_size;
+    memcpy(&block_size, d + off, 4);
+    off += 4;
+    if (block_size <= 0 || off + block_size > n) break;
+    const uint8_t* body = d + off;
+    RecordView rv;
+    memcpy(&rv.ref_id, body, 4);
+    memcpy(&rv.pos, body + 4, 4);
+    memcpy(&rv.flag, body + 14, 2);
+    rv.mapq = body[9];
+    rv.body = body;
+    rv.body_len = block_size;
+    rv.end = rv.pos + reference_span(body);
+    bam->records.push_back(rv);
+    off += block_size;
+  }
+  return bam;
+}
+
+void bam_close(void* handle) { delete static_cast<BamFile*>(handle); }
+
+int32_t bam_n_refs(void* handle) {
+  return static_cast<int32_t>(static_cast<BamFile*>(handle)->ref_names.size());
+}
+
+const char* bam_ref_name(void* handle, int32_t i) {
+  return static_cast<BamFile*>(handle)->ref_names[i].c_str();
+}
+
+int64_t bam_ref_len(void* handle, int32_t i) {
+  return static_cast<BamFile*>(handle)->ref_lens[i];
+}
+
+int64_t bam_n_records(void* handle) {
+  return static_cast<int64_t>(static_cast<BamFile*>(handle)->records.size());
+}
+
+struct EventsOut {
+  int64_t n_base;
+  int32_t* base_pos;
+  int8_t* base_code;
+  int8_t* base_strand;
+  int64_t* base_rank;
+  int8_t* base_hp;
+  int64_t n_star;
+  int32_t* star_pos;
+  int8_t* star_strand;
+  int8_t* star_hp;
+  int64_t n_ins;
+  int32_t* ins_pos;
+  int8_t* ins_strand;
+  int64_t* ins_rank;
+  int8_t* ins_hp;
+  int32_t* ins_allele;
+  int64_t n_ins_seq;
+  char* ins_seq_blob;      // '\0'-separated allele sequences
+  int64_t ins_seq_blob_len;
+  int64_t n_del;
+  int32_t* del_pos;
+  int8_t* del_strand;
+  int64_t* del_rank;
+  int8_t* del_hp;
+  int32_t* del_len;
+  // dense per-position arrays over [start, end)
+  int32_t* read_start_count;
+  int32_t* read_end_count;
+  int32_t* skip_fwd_count;
+  int32_t* skip_rev_count;
+  int32_t* cover_count;
+};
+
+EventsOut* extract_events_native(void* handle, int32_t ref_id, int64_t start,
+                                 int64_t end, int32_t min_mq, int32_t min_bq,
+                                 int32_t exclude_flags) {
+  auto* bam = static_cast<BamFile*>(handle);
+  int64_t width = end - start;
+
+  std::vector<int32_t> base_pos;
+  std::vector<int8_t> base_code, base_strand, base_hp;
+  std::vector<int64_t> base_rank;
+  std::vector<int32_t> star_pos;
+  std::vector<int8_t> star_strand, star_hp;
+  std::vector<int32_t> ins_pos, ins_allele;
+  std::vector<int8_t> ins_strand, ins_hp;
+  std::vector<int64_t> ins_rank;
+  std::vector<int32_t> del_pos, del_len;
+  std::vector<int8_t> del_strand, del_hp;
+  std::vector<int64_t> del_rank;
+  std::vector<int32_t> read_start_count(width, 0), read_end_count(width, 0),
+      skip_fwd(width, 0), skip_rev(width, 0), cover_diff(width + 1, 0);
+  std::unordered_map<std::string, int32_t> allele_ids;
+  std::string ins_blob;
+  int64_t n_alleles = 0;
+
+  base_pos.reserve(1 << 20);
+  base_code.reserve(1 << 20);
+  base_strand.reserve(1 << 20);
+  base_rank.reserve(1 << 20);
+  base_hp.reserve(1 << 20);
+
+  int64_t read_index = -1;
+  for (const RecordView& rv : bam->records) {
+    if (rv.ref_id != ref_id) {
+      if (rv.ref_id > ref_id && ref_id >= 0) break;
+      continue;
+    }
+    if (rv.pos >= end) break;
+    if ((rv.flag & exclude_flags) || rv.mapq < min_mq) continue;
+    if (rv.end <= start) continue;
+    ++read_index;
+    int64_t rank = 2 * read_index;
+    int8_t strand = (rv.flag & 0x10) ? 1 : 0;
+
+    const uint8_t* body = rv.body;
+    uint8_t l_read_name = body[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, body + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, body + 16, 4);
+    const uint8_t* cig = body + 32 + l_read_name;
+    const uint8_t* seq = cig + 4 * n_cigar;
+    const uint8_t* qual = seq + (l_seq + 1) / 2;
+    const uint8_t* tags = qual + l_seq;
+    int8_t hp = static_cast<int8_t>(parse_hp_tag(tags, body + rv.body_len));
+
+    // read start/end marks + cover range
+    if (rv.pos >= start && rv.pos < end) read_start_count[rv.pos - start] += 1;
+    if (rv.end - 1 >= start && rv.end - 1 < end)
+      read_end_count[rv.end - 1 - start] += 1;
+    int64_t clo = rv.pos > start ? rv.pos : start;
+    int64_t chi = rv.end < end ? rv.end : end;
+    if (clo < chi) {
+      cover_diff[clo - start] += 1;
+      cover_diff[chi - start] -= 1;
+    }
+
+    int64_t qpos = 0, rpos = rv.pos;
+    for (int k = 0; k < n_cigar; ++k) {
+      uint32_t v;
+      memcpy(&v, cig + 4 * k, 4);
+      int op = v & 0xF;
+      int64_t len = v >> 4;
+      if (op == CIGAR_M || op == CIGAR_EQ || op == CIGAR_X) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        for (int64_t p = lo; p < hi; ++p) {
+          int64_t qi = qpos + (p - rpos);
+          uint8_t byte = seq[qi >> 1];
+          uint8_t nt16 = (qi & 1) ? (byte & 0xF) : (byte >> 4);
+          int8_t code = code_of_nt16(nt16);
+          if (code < 0) continue;
+          if (min_bq > 0) {
+            uint8_t q = qual[qi];
+            if (q != 0xFF && q < min_bq) continue;
+          }
+          base_pos.push_back(static_cast<int32_t>(p));
+          base_code.push_back(code);
+          base_strand.push_back(strand);
+          base_rank.push_back(rank);
+          base_hp.push_back(hp);
+        }
+        // indel attached to the last base of this match segment
+        int64_t attach = rpos + len - 1;
+        if (attach >= start && attach < end && k + 1 < n_cigar) {
+          uint32_t nv;
+          memcpy(&nv, cig + 4 * (k + 1), 4);
+          int nop = nv & 0xF;
+          int64_t nlen = nv >> 4;
+          if (nop == CIGAR_I) {
+            std::string allele;
+            allele.reserve(nlen);
+            for (int64_t j = 0; j < nlen; ++j) {
+              int64_t qi = qpos + len + j;
+              uint8_t byte = seq[qi >> 1];
+              uint8_t nt16 = (qi & 1) ? (byte & 0xF) : (byte >> 4);
+              allele.push_back(SEQ_NT16[nt16]);
+            }
+            auto it = allele_ids.find(allele);
+            int32_t id;
+            if (it == allele_ids.end()) {
+              id = static_cast<int32_t>(n_alleles++);
+              allele_ids.emplace(allele, id);
+              ins_blob += allele;
+              ins_blob.push_back('\0');
+            } else {
+              id = it->second;
+            }
+            ins_pos.push_back(static_cast<int32_t>(attach));
+            ins_strand.push_back(strand);
+            ins_rank.push_back(rank + 1);
+            ins_hp.push_back(hp);
+            ins_allele.push_back(id);
+          } else if (nop == CIGAR_D) {
+            del_pos.push_back(static_cast<int32_t>(attach));
+            del_strand.push_back(strand);
+            del_rank.push_back(rank + 1);
+            del_hp.push_back(hp);
+            del_len.push_back(static_cast<int32_t>(nlen));
+          }
+        }
+        qpos += len;
+        rpos += len;
+      } else if (op == CIGAR_D) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        for (int64_t p = lo; p < hi; ++p) {
+          star_pos.push_back(static_cast<int32_t>(p));
+          star_strand.push_back(strand);
+          star_hp.push_back(hp);
+        }
+        rpos += len;
+      } else if (op == CIGAR_N) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        if (lo < hi) {
+          auto& target = strand ? skip_rev : skip_fwd;
+          for (int64_t p = lo; p < hi; ++p) target[p - start] += 1;
+        }
+        rpos += len;
+      } else if (op == CIGAR_I || op == CIGAR_S) {
+        qpos += len;
+      }
+      // H and P consume nothing
+    }
+  }
+
+  // cover prefix sum
+  std::vector<int32_t> cover(width);
+  int32_t acc = 0;
+  for (int64_t i = 0; i < width; ++i) {
+    acc += cover_diff[i];
+    cover[i] = acc;
+  }
+
+  auto* out = new EventsOut();
+  out->n_base = static_cast<int64_t>(base_pos.size());
+  out->base_pos = steal(base_pos);
+  out->base_code = steal(base_code);
+  out->base_strand = steal(base_strand);
+  out->base_rank = steal(base_rank);
+  out->base_hp = steal(base_hp);
+  out->n_star = static_cast<int64_t>(star_pos.size());
+  out->star_pos = steal(star_pos);
+  out->star_strand = steal(star_strand);
+  out->star_hp = steal(star_hp);
+  out->n_ins = static_cast<int64_t>(ins_pos.size());
+  out->ins_pos = steal(ins_pos);
+  out->ins_strand = steal(ins_strand);
+  out->ins_rank = steal(ins_rank);
+  out->ins_hp = steal(ins_hp);
+  out->ins_allele = steal(ins_allele);
+  out->n_ins_seq = n_alleles;
+  out->ins_seq_blob_len = static_cast<int64_t>(ins_blob.size());
+  out->ins_seq_blob = static_cast<char*>(malloc(ins_blob.size() + 1));
+  memcpy(out->ins_seq_blob, ins_blob.data(), ins_blob.size());
+  out->ins_seq_blob[ins_blob.size()] = '\0';
+  out->n_del = static_cast<int64_t>(del_pos.size());
+  out->del_pos = steal(del_pos);
+  out->del_strand = steal(del_strand);
+  out->del_rank = steal(del_rank);
+  out->del_hp = steal(del_hp);
+  out->del_len = steal(del_len);
+  out->read_start_count = steal(read_start_count);
+  out->read_end_count = steal(read_end_count);
+  out->skip_fwd_count = steal(skip_fwd);
+  out->skip_rev_count = steal(skip_rev);
+  out->cover_count = steal(cover);
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// Dense tile build: accumulate the channel-count image directly, so Python
+// never materializes per-base event arrays. Channel layout matches
+// clair3_rna_tpu/config.py CHANNELS (+ PHASED_CHANNELS when phased).
+// ---------------------------------------------------------------------------
+
+struct TileOut {
+  int64_t width;
+  int32_t n_channels;
+  int32_t* counts;        // [width * n_channels]
+  int32_t* group_count;   // [width * 6] A C G T I D (case-merged)
+  int64_t* group_rank;    // [width * 6] min first-occurrence rank
+  int32_t* max_del_length;  // [width]
+  int32_t* read_start_count;
+  int32_t* read_end_count;
+  int32_t* skip_fwd_count;
+  int32_t* skip_rev_count;
+  int32_t* cover_count;
+  // sparse ins/del details for alt_info reconstruction
+  int64_t n_ins;
+  int32_t* ins_pos;
+  int8_t* ins_strand;
+  int64_t* ins_rank;
+  int32_t* ins_allele;
+  int64_t n_ins_seq;
+  char* ins_seq_blob;
+  int64_t ins_seq_blob_len;
+  int64_t n_del;
+  int32_t* del_pos;
+  int8_t* del_strand;
+  int64_t* del_rank;
+  int32_t* del_len;
+};
+
+namespace {
+constexpr int CH_A = 0, CH_I = 4, CH_I1 = 5, CH_D = 6, CH_D1 = 7, CH_STAR = 8,
+              CH_a = 9, CH_i = 13, CH_i1 = 14, CH_d = 15, CH_d1 = 16,
+              CH_HASH = 17;
+constexpr int64_t RANK_INF = int64_t(1) << 60;
+}
+
+TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
+                           int64_t end, int32_t min_mq, int32_t min_bq,
+                           int32_t exclude_flags, int32_t phased) {
+  auto* bam = static_cast<BamFile*>(handle);
+  int64_t width = end - start;
+  int32_t n_channels = 18 + (phased ? 12 : 0);
+
+  std::vector<int32_t> counts(width * n_channels, 0);
+  std::vector<int32_t> group_count(width * 6, 0);
+  std::vector<int64_t> group_rank(width * 6, RANK_INF);
+  std::vector<int32_t> max_del_length(width, 0);
+  std::vector<int32_t> read_start_count(width, 0), read_end_count(width, 0),
+      skip_fwd(width, 0), skip_rev(width, 0), cover_diff(width + 1, 0);
+
+  std::vector<int32_t> ins_pos, ins_allele;
+  std::vector<int8_t> ins_strand;
+  std::vector<int64_t> ins_rank;
+  std::vector<int32_t> del_pos, del_len;
+  std::vector<int8_t> del_strand;
+  std::vector<int64_t> del_rank;
+  std::unordered_map<std::string, int32_t> allele_ids;
+  std::string ins_blob;
+  int64_t n_alleles = 0;
+
+  int64_t read_index = -1;
+  for (const RecordView& rv : bam->records) {
+    if (rv.ref_id != ref_id) {
+      if (rv.ref_id > ref_id && ref_id >= 0) break;
+      continue;
+    }
+    if (rv.pos >= end) break;
+    if ((rv.flag & exclude_flags) || rv.mapq < min_mq) continue;
+    if (rv.end <= start) continue;
+    ++read_index;
+    int64_t rank = 2 * read_index;
+    int8_t strand = (rv.flag & 0x10) ? 1 : 0;
+
+    const uint8_t* body = rv.body;
+    uint8_t l_read_name = body[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, body + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, body + 16, 4);
+    const uint8_t* cig = body + 32 + l_read_name;
+    const uint8_t* seq = cig + 4 * n_cigar;
+    const uint8_t* qual = seq + (l_seq + 1) / 2;
+    const uint8_t* tags = qual + l_seq;
+    int hp = phased ? parse_hp_tag(tags, body + rv.body_len) : 0;
+
+    if (rv.pos >= start && rv.pos < end) read_start_count[rv.pos - start] += 1;
+    if (rv.end - 1 >= start && rv.end - 1 < end)
+      read_end_count[rv.end - 1 - start] += 1;
+    int64_t clo = rv.pos > start ? rv.pos : start;
+    int64_t chi = rv.end < end ? rv.end : end;
+    if (clo < chi) {
+      cover_diff[clo - start] += 1;
+      cover_diff[chi - start] -= 1;
+    }
+
+    int64_t qpos = 0, rpos = rv.pos;
+    for (int k = 0; k < n_cigar; ++k) {
+      uint32_t v;
+      memcpy(&v, cig + 4 * k, 4);
+      int op = v & 0xF;
+      int64_t len = v >> 4;
+      if (op == CIGAR_M || op == CIGAR_EQ || op == CIGAR_X) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        for (int64_t p = lo; p < hi; ++p) {
+          int64_t qi = qpos + (p - rpos);
+          uint8_t byte = seq[qi >> 1];
+          uint8_t nt16 = (qi & 1) ? (byte & 0xF) : (byte >> 4);
+          int8_t code = code_of_nt16(nt16);
+          if (code < 0) continue;
+          if (min_bq > 0) {
+            uint8_t q = qual[qi];
+            if (q != 0xFF && q < min_bq) continue;
+          }
+          int64_t w = p - start;
+          counts[w * n_channels + code + (strand ? 9 : 0)] += 1;
+          group_count[w * 6 + code] += 1;
+          int64_t& gr = group_rank[w * 6 + code];
+          if (rank < gr) gr = rank;
+          if (phased && hp >= 1 && hp <= 2)
+            counts[w * n_channels + 18 + (hp - 1) * 6 + code] += 1;
+        }
+        int64_t attach = rpos + len - 1;
+        if (attach >= start && attach < end && k + 1 < n_cigar) {
+          uint32_t nv;
+          memcpy(&nv, cig + 4 * (k + 1), 4);
+          int nop = nv & 0xF;
+          int64_t nlen = nv >> 4;
+          int64_t w = attach - start;
+          if (nop == CIGAR_I) {
+            std::string allele;
+            allele.reserve(nlen);
+            for (int64_t j = 0; j < nlen; ++j) {
+              int64_t qi = qpos + len + j;
+              uint8_t byte = seq[qi >> 1];
+              uint8_t nt16 = (qi & 1) ? (byte & 0xF) : (byte >> 4);
+              allele.push_back(SEQ_NT16[nt16]);
+            }
+            auto it = allele_ids.find(allele);
+            int32_t id;
+            if (it == allele_ids.end()) {
+              id = static_cast<int32_t>(n_alleles++);
+              allele_ids.emplace(allele, id);
+              ins_blob += allele;
+              ins_blob.push_back('\0');
+            } else {
+              id = it->second;
+            }
+            counts[w * n_channels + (strand ? CH_i : CH_I)] += 1;
+            group_count[w * 6 + 4] += 1;
+            int64_t& gr = group_rank[w * 6 + 4];
+            if (rank + 1 < gr) gr = rank + 1;
+            if (phased && hp >= 1 && hp <= 2)
+              counts[w * n_channels + 18 + (hp - 1) * 6 + 4] += 1;
+            ins_pos.push_back(static_cast<int32_t>(attach));
+            ins_strand.push_back(strand);
+            ins_rank.push_back(rank + 1);
+            ins_allele.push_back(id);
+          } else if (nop == CIGAR_D) {
+            counts[w * n_channels + (strand ? CH_d : CH_D)] += 1;
+            group_count[w * 6 + 5] += 1;
+            int64_t& gr = group_rank[w * 6 + 5];
+            if (rank + 1 < gr) gr = rank + 1;
+            if (phased && hp >= 1 && hp <= 2)
+              counts[w * n_channels + 18 + (hp - 1) * 6 + 5] += 1;
+            if (nlen > max_del_length[w]) max_del_length[w] = static_cast<int32_t>(nlen);
+            del_pos.push_back(static_cast<int32_t>(attach));
+            del_strand.push_back(strand);
+            del_rank.push_back(rank + 1);
+            del_len.push_back(static_cast<int32_t>(nlen));
+          }
+        }
+        qpos += len;
+        rpos += len;
+      } else if (op == CIGAR_D) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        for (int64_t p = lo; p < hi; ++p)
+          counts[(p - start) * n_channels + (strand ? CH_HASH : CH_STAR)] += 1;
+        rpos += len;
+      } else if (op == CIGAR_N) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        auto& target = strand ? skip_rev : skip_fwd;
+        for (int64_t p = lo; p < hi; ++p) target[p - start] += 1;
+        rpos += len;
+      } else if (op == CIGAR_I || op == CIGAR_S) {
+        qpos += len;
+      }
+    }
+  }
+
+  // I1/i1: most-supported single insertion allele per (pos, strand)
+  {
+    std::unordered_map<int64_t, int32_t> per_allele;
+    per_allele.reserve(ins_pos.size() * 2);
+    for (size_t i = 0; i < ins_pos.size(); ++i) {
+      int64_t key = ((int64_t(ins_pos[i] - start) * 2 + ins_strand[i])
+                     * (n_alleles ? n_alleles : 1)) + ins_allele[i];
+      per_allele[key] += 1;
+    }
+    for (const auto& kv : per_allele) {
+      int64_t ps = kv.first / (n_alleles ? n_alleles : 1);
+      int64_t w = ps / 2;
+      int strand = static_cast<int>(ps % 2);
+      int32_t& slot = counts[w * n_channels + (strand ? CH_i1 : CH_I1)];
+      if (kv.second > slot) slot = kv.second;
+    }
+  }
+  // D1/d1: most-supported single deletion length per (pos, strand)
+  {
+    std::unordered_map<int64_t, int32_t> per_len;
+    per_len.reserve(del_pos.size() * 2);
+    for (size_t i = 0; i < del_pos.size(); ++i) {
+      int64_t key = (int64_t(del_pos[i] - start) * 2 + del_strand[i]) * 100001
+                    + del_len[i];
+      per_len[key] += 1;
+    }
+    for (const auto& kv : per_len) {
+      int64_t ps = kv.first / 100001;
+      int64_t w = ps / 2;
+      int strand = static_cast<int>(ps % 2);
+      int32_t& slot = counts[w * n_channels + (strand ? CH_d1 : CH_D1)];
+      if (kv.second > slot) slot = kv.second;
+    }
+  }
+
+  std::vector<int32_t> cover(width);
+  int32_t acc = 0;
+  for (int64_t i = 0; i < width; ++i) {
+    acc += cover_diff[i];
+    cover[i] = acc;
+  }
+
+  auto* out = new TileOut();
+  out->width = width;
+  out->n_channels = n_channels;
+  out->counts = steal(counts);
+  out->group_count = steal(group_count);
+  out->group_rank = steal(group_rank);
+  out->max_del_length = steal(max_del_length);
+  out->read_start_count = steal(read_start_count);
+  out->read_end_count = steal(read_end_count);
+  out->skip_fwd_count = steal(skip_fwd);
+  out->skip_rev_count = steal(skip_rev);
+  out->cover_count = steal(cover);
+  out->n_ins = static_cast<int64_t>(ins_pos.size());
+  out->ins_pos = steal(ins_pos);
+  out->ins_strand = steal(ins_strand);
+  out->ins_rank = steal(ins_rank);
+  out->ins_allele = steal(ins_allele);
+  out->n_ins_seq = n_alleles;
+  out->ins_seq_blob_len = static_cast<int64_t>(ins_blob.size());
+  out->ins_seq_blob = static_cast<char*>(malloc(ins_blob.size() + 1));
+  memcpy(out->ins_seq_blob, ins_blob.data(), ins_blob.size());
+  out->ins_seq_blob[ins_blob.size()] = '\0';
+  out->n_del = static_cast<int64_t>(del_pos.size());
+  out->del_pos = steal(del_pos);
+  out->del_strand = steal(del_strand);
+  out->del_rank = steal(del_rank);
+  out->del_len = steal(del_len);
+  return out;
+}
+
+void free_tile_native(TileOut* out) {
+  if (!out) return;
+  free(out->counts); free(out->group_count); free(out->group_rank);
+  free(out->max_del_length);
+  free(out->read_start_count); free(out->read_end_count);
+  free(out->skip_fwd_count); free(out->skip_rev_count); free(out->cover_count);
+  free(out->ins_pos); free(out->ins_strand); free(out->ins_rank);
+  free(out->ins_allele); free(out->ins_seq_blob);
+  free(out->del_pos); free(out->del_strand); free(out->del_rank);
+  free(out->del_len);
+  delete out;
+}
+
+void free_events_native(EventsOut* out) {
+  if (!out) return;
+  free(out->base_pos); free(out->base_code); free(out->base_strand);
+  free(out->base_rank); free(out->base_hp);
+  free(out->star_pos); free(out->star_strand); free(out->star_hp);
+  free(out->ins_pos); free(out->ins_strand); free(out->ins_rank);
+  free(out->ins_hp); free(out->ins_allele); free(out->ins_seq_blob);
+  free(out->del_pos); free(out->del_strand); free(out->del_rank);
+  free(out->del_hp); free(out->del_len);
+  free(out->read_start_count); free(out->read_end_count);
+  free(out->skip_fwd_count); free(out->skip_rev_count); free(out->cover_count);
+  delete out;
+}
+
+}  // extern "C"

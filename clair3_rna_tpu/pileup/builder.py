@@ -170,6 +170,25 @@ def build_tile_features(events: PileupEvents, ref_codes: np.ndarray,
     _min_rank(dpos, np.full(len(dpos), GROUP_D, dtype=np.int64), events.del_rank,
               width, 6, group_rank)
 
+    max_del_length = np.zeros(width, dtype=np.int32)
+    if len(dpos):
+        np.maximum.at(max_del_length, dpos, events.del_len)
+
+    return finalize_features(
+        start, end, counts, group_count, group_rank, max_del_length,
+        events.cover_count, events.read_start_count, events.read_end_count,
+        events.skip_fwd_count, events.skip_rev_count, ref_codes)
+
+
+def finalize_features(start, end, counts, group_count, group_rank,
+                      max_del_length, cover_count, read_start_count,
+                      read_end_count, skip_fwd_count, skip_rev_count,
+                      ref_codes) -> TileFeatures:
+    """Derive the scalar per-position features shared by the Python and
+    native (C++) tile builders."""
+    ins_total = counts[:, CHANNEL_INDEX["I"]] + counts[:, CHANNEL_INDEX["i"]]
+    del_total = counts[:, CHANNEL_INDEX["D"]] + counts[:, CHANNEL_INDEX["d"]]
+    star_total = counts[:, CHANNEL_INDEX["*"]] + counts[:, CHANNEL_INDEX["#"]]
     base_total = group_count[:, :4].sum(axis=1)
     depth = base_total + star_total
 
@@ -183,16 +202,10 @@ def build_tile_features(events: PileupEvents, ref_codes: np.ndarray,
     # (src/create_tensor_pileup.py:219-259)
     ref_count = np.maximum(0, depth - (del_total + star_total) - ins_total - alt_count)
 
-    max_del_length = np.zeros(width, dtype=np.int32)
-    if len(dpos):
-        np.maximum.at(max_del_length, dpos, events.del_len)
-
     # mpileup emits a row wherever any read covers via M/D/N (incl. N bases)
-    covered = events.cover_count > 0
-
+    covered = cover_count > 0
     max_skip = np.maximum.reduce([
-        events.read_start_count, events.read_end_count,
-        events.skip_fwd_count, events.skip_rev_count,
+        read_start_count, read_end_count, skip_fwd_count, skip_rev_count,
     ]).astype(np.int32)
 
     return TileFeatures(
@@ -257,52 +270,77 @@ def candidate_mask_from(feat: TileFeatures, cfg: PileupConfig,
     return mask
 
 
-def alt_info_string(events: PileupEvents, feat: TileFeatures, pos: int,
-                    ref_seq: str, ref_seq_start: int,
-                    sorters: dict) -> str:
+@dataclass
+class SparseIndels:
+    """Position-sorted insertion/deletion detail for alt_info reconstruction."""
+
+    ins_pos: np.ndarray      # int64, sorted
+    ins_rank: np.ndarray
+    ins_allele: np.ndarray
+    ins_seqs: list
+    del_pos: np.ndarray      # int64, sorted
+    del_rank: np.ndarray
+    del_len: np.ndarray
+
+    @classmethod
+    def from_arrays(cls, ins_pos, ins_rank, ins_allele, ins_seqs,
+                    del_pos, del_rank, del_len):
+        io = np.argsort(ins_pos, kind="stable")
+        do = np.argsort(del_pos, kind="stable")
+        return cls(
+            ins_pos=np.asarray(ins_pos)[io].astype(np.int64),
+            ins_rank=np.asarray(ins_rank)[io],
+            ins_allele=np.asarray(ins_allele)[io],
+            ins_seqs=list(ins_seqs),
+            del_pos=np.asarray(del_pos)[do].astype(np.int64),
+            del_rank=np.asarray(del_rank)[do],
+            del_len=np.asarray(del_len)[do],
+        )
+
+    @classmethod
+    def from_events(cls, events: PileupEvents):
+        return cls.from_arrays(events.ins_pos, events.ins_rank,
+                               events.ins_allele, events.ins_seqs,
+                               events.del_pos, events.del_rank, events.del_len)
+
+
+def alt_info_string(indels: SparseIndels, feat: TileFeatures, pos: int,
+                    ref_seq: str, ref_seq_start: int) -> str:
     """Build the candidate's "depth-<alleles>" summary exactly like the
     reference alt_dict (src/create_tensor_pileup.py:219-261, 595-596):
-    keys in first-occurrence column order, 'R<ref>' appended last."""
+    keys in first-occurrence column order, 'R<ref>' appended last. SNP (X)
+    entries come straight from the case-merged group counts/ranks."""
     i = pos - feat.start
     ref_base = _BASES[feat.eff_ref_code[i]]
     entries = []  # (rank, key, count)
 
-    b_lo, b_hi = np.searchsorted(sorters["base_pos_sorted"], pos, side="left"), \
-        np.searchsorted(sorters["base_pos_sorted"], pos, side="right")
-    if b_hi > b_lo:
-        idx = sorters["base_order"][b_lo:b_hi]
-        codes = events.base_code[idx]
-        ranks = events.base_rank[idx]
-        for code in range(4):
-            base = _BASES[code]
-            if base == ref_base:
-                continue
-            sel = codes == code
-            count = int(sel.sum())
-            if count:
-                entries.append((int(ranks[sel].min()), "X" + base, count))
+    eff = int(feat.eff_ref_code[i])
+    for code in range(4):
+        if code == eff:
+            continue
+        count = int(feat.group_count[i, code])
+        if count:
+            entries.append((int(feat.group_rank[i, code]), "X" + _BASES[code], count))
 
-    i_lo, i_hi = np.searchsorted(sorters["ins_pos_sorted"], pos, side="left"), \
-        np.searchsorted(sorters["ins_pos_sorted"], pos, side="right")
+    i_lo = np.searchsorted(indels.ins_pos, pos, side="left")
+    i_hi = np.searchsorted(indels.ins_pos, pos, side="right")
     if i_hi > i_lo:
-        idx = sorters["ins_order"][i_lo:i_hi]
         by_allele = {}
-        for j in idx:
-            allele = events.ins_allele[j]
-            rank = int(events.ins_rank[j])
+        for j in range(i_lo, i_hi):
+            allele = indels.ins_allele[j]
+            rank = int(indels.ins_rank[j])
             cnt, mn = by_allele.get(allele, (0, _RANK_INF))
             by_allele[allele] = (cnt + 1, min(mn, rank))
         for allele, (count, rank) in by_allele.items():
-            entries.append((rank, "I" + ref_base + events.ins_seqs[allele], count))
+            entries.append((rank, "I" + ref_base + indels.ins_seqs[allele], count))
 
-    d_lo, d_hi = np.searchsorted(sorters["del_pos_sorted"], pos, side="left"), \
-        np.searchsorted(sorters["del_pos_sorted"], pos, side="right")
+    d_lo = np.searchsorted(indels.del_pos, pos, side="left")
+    d_hi = np.searchsorted(indels.del_pos, pos, side="right")
     if d_hi > d_lo:
-        idx = sorters["del_order"][d_lo:d_hi]
         by_len = {}
-        for j in idx:
-            dlen = int(events.del_len[j])
-            rank = int(events.del_rank[j])
+        for j in range(d_lo, d_hi):
+            dlen = int(indels.del_len[j])
+            rank = int(indels.del_rank[j])
             cnt, mn = by_len.get(dlen, (0, _RANK_INF))
             by_len[dlen] = (cnt + 1, min(mn, rank))
         for dlen, (count, rank) in by_len.items():
@@ -350,15 +388,18 @@ def compute_runs(covered: np.ndarray):
     return run_start, run_end
 
 
-def build_tensors(events: PileupEvents, feat: TileFeatures, cfg: PileupConfig,
+def build_tensors(indels, feat: TileFeatures, cfg: PileupConfig,
                   ctg_name: str, ref_seq: str, ref_seq_start: int,
                   candidate_mask: np.ndarray,
                   emit_lo: int | None = None, emit_hi: int | None = None):
     """Gather 33-wide windows at candidate centers and serialize records.
 
     emit_lo/emit_hi bound the candidate centers actually emitted (tile core),
-    while events/feat may span a halo. Positions are 0-based internally.
+    while indels/feat may span a halo. Positions are 0-based internally.
+    `indels` is a SparseIndels or a PileupEvents (converted on the fly).
     """
+    if isinstance(indels, PileupEvents):
+        indels = SparseIndels.from_events(indels)
     flank = config.FLANKING_BASE_NUM
     window = config.NO_OF_POSITIONS
     start, end = feat.start, feat.end
@@ -373,17 +414,6 @@ def build_tensors(events: PileupEvents, feat: TileFeatures, cfg: PileupConfig,
         cand_idx = cand_idx[cand_idx + start < emit_hi]
 
     last_covered = int(np.nonzero(feat.covered)[0][-1]) if feat.covered.any() else -1
-
-    # int64 keys: searchsorted with a python-int needle on an int32 array
-    # would re-cast the whole array per call
-    sorters = {
-        "base_order": np.argsort(events.base_pos, kind="stable"),
-        "ins_order": np.argsort(events.ins_pos, kind="stable"),
-        "del_order": np.argsort(events.del_pos, kind="stable"),
-    }
-    sorters["base_pos_sorted"] = events.base_pos[sorters["base_order"]].astype(np.int64)
-    sorters["ins_pos_sorted"] = events.ins_pos[sorters["ins_order"]].astype(np.int64)
-    sorters["del_pos_sorted"] = events.del_pos[sorters["del_order"]].astype(np.int64)
 
     records = []
     emitted_centers = set()  # splice-mode depth_dict deletion quirk
@@ -450,8 +480,8 @@ def build_tensors(events: PileupEvents, feat: TileFeatures, cfg: PileupConfig,
 
         center_abs = ci + start
         ref33 = _flanked_ref(ref_seq, ref_seq_start, center_abs, flank)
-        alt_info = alt_info_string(events, feat, center_abs, ref_seq,
-                                   ref_seq_start, sorters)
+        alt_info = alt_info_string(indels, feat, center_abs, ref_seq,
+                                   ref_seq_start)
         records.append(TensorRecord(
             ctg_name=ctg_name,
             position=center_abs + 1,

@@ -46,6 +46,30 @@ def ref_codes_from(seq: str) -> np.ndarray:
     return _CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
 
 
+def extract_region_events(bam, contig, start, end, cfg: PileupConfig):
+    """Dispatch event extraction: native (C++) source or pure-Python reader."""
+    if hasattr(bam, "extract_events"):  # NativeBam
+        return bam.extract_events(contig, start, end, min_mq=cfg.min_mq,
+                                  min_bq=cfg.min_bq,
+                                  exclude_flags=cfg.exclude_flags)
+    records_iter = bam.fetch(contig, start, end,
+                             exclude_flags=cfg.exclude_flags,
+                             min_mapq=cfg.min_mq)
+    return extract_events(records_iter, start, end, min_bq=cfg.min_bq)
+
+
+def open_bam(path: str, prefer_native: bool = True):
+    """Open a BAM with the native decoder when available."""
+    if prefer_native:
+        try:
+            from clair3_rna_tpu.native import NativeBam, native_available
+            if native_available():
+                return NativeBam(path)
+        except Exception:
+            pass
+    return BamReader(path)
+
+
 def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
                         cfg: PileupConfig, known_positions=None,
                         bed_regions=None):
@@ -66,11 +90,18 @@ def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
     ref_hi = min(contig_len, task.end + config.EXPAND_REFERENCE_REGION)
     ref_seq = fasta.fetch(task.ctg_name, ref_lo, ref_hi)
 
-    records_iter = bam.fetch(task.ctg_name, row_lo, row_hi,
-                             exclude_flags=cfg.exclude_flags, min_mapq=cfg.min_mq)
-    events = extract_events(records_iter, row_lo, row_hi, min_bq=cfg.min_bq)
     codes = ref_codes_from(ref_seq[row_lo - ref_lo: row_hi - ref_lo])
-    feat = builder.build_tile_features(events, codes, cfg)
+    if hasattr(bam, "build_tile"):
+        # native fast path: dense channel image accumulated in C++
+        tile, indels = bam.build_tile(task.ctg_name, row_lo, row_hi, cfg)
+        feat = builder.finalize_features(
+            row_lo, row_hi, tile["counts"], tile["group_count"],
+            tile["group_rank"], tile["max_del_length"], tile["cover_count"],
+            tile["read_start_count"], tile["read_end_count"],
+            tile["skip_fwd_count"], tile["skip_rev_count"], codes)
+    else:
+        indels = extract_region_events(bam, task.ctg_name, row_lo, row_hi, cfg)
+        feat = builder.build_tile_features(indels, codes, cfg)
 
     bed_mask = None
     if bed_regions is not None:
@@ -86,7 +117,7 @@ def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
         if known_positions is not None else None,
     )
     return builder.build_tensors(
-        events, feat, cfg, task.ctg_name, ref_seq, ref_lo, mask,
+        indels, feat, cfg, task.ctg_name, ref_seq, ref_lo, mask,
     )
 
 
