@@ -50,14 +50,14 @@ def bench_ours(fasta_path, bam_path):
     from clair3_rna_tpu.config import PileupConfig
     from clair3_rna_tpu.caller.decode import CallConfig
     from clair3_rna_tpu.caller.pipeline import batch_tensors, prescreen_mask, decode_batch
-    from clair3_rna_tpu.io.bam import BamReader
+    from clair3_rna_tpu.pileup.chunk import open_bam
     from clair3_rna_tpu.io.fasta import FastaFile
     from clair3_rna_tpu.models.network import init_params, make_forward_fn
     from clair3_rna_tpu.pileup.chunk import ChunkTask, build_chunk_tensors
 
     cfg = PileupConfig(batch_size=2048)
     call_cfg = CallConfig(show_ref=False)
-    bam = BamReader(bam_path)
+    bam = open_bam(bam_path)
     fasta = FastaFile(fasta_path)
     task = ChunkTask("chr1", 0, CONTIG_LEN)
 
