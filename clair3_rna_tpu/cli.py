@@ -169,7 +169,9 @@ def main(argv=None):
     _add_call_parser(subparsers)
     _add_sort_parser(subparsers)
     from clair3_rna_tpu.evaluation.cli_tools import add_tool_parsers
+    from clair3_rna_tpu.train.cli_tools import add_train_parsers
     add_tool_parsers(subparsers)
+    add_train_parsers(subparsers)
 
     args = parser.parse_args(argv)
     if args.command == "call":
@@ -177,7 +179,10 @@ def main(argv=None):
     if args.command == "sort_vcf":
         return run_sort(args)
     from clair3_rna_tpu.evaluation.cli_tools import dispatch_tool
+    from clair3_rna_tpu.train.cli_tools import dispatch_train
     if dispatch_tool(args):
+        return None
+    if dispatch_train(args):
         return None
     parser.print_help()
     return None
