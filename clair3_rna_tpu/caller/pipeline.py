@@ -110,6 +110,37 @@ def call_tensor_records(records, forward, params, cfg: PileupConfig,
     return rows
 
 
+def _write_gvcf(output_path, sorted_vcf_path, gvcf_rows_by_contig, fasta,
+                ref_path, sample_name):
+    """Merge called variants with non-variant blocks into output.g.vcf."""
+    from clair3_rna_tpu.gvcf import GVCF_EXTRA_HEADER, merge_gvcf_rows
+    from clair3_rna_tpu.io.vcf import vcf_header
+    from clair3_rna_tpu.postprocess.sort_vcf import contig_sort_order
+
+    variant_by_contig = {}
+    with open(sorted_vcf_path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            variant_by_contig.setdefault(line.split("\t", 1)[0], []).append(
+                line.rstrip("\n"))
+
+    gvcf_path = output_path[:-4] + ".g.vcf" if output_path.endswith(".vcf") \
+        else output_path + ".g.vcf"
+    header = vcf_header(ref_path, sample_name=sample_name)
+    header_lines = header.rstrip("\n").split("\n")
+    header_lines = header_lines[:-1] + GVCF_EXTRA_HEADER.split("\n") + header_lines[-1:]
+    with open(gvcf_path, "w") as out:
+        out.write("\n".join(header_lines) + "\n")
+        for contig in contig_sort_order(list(gvcf_rows_by_contig)):
+            merged = merge_gvcf_rows(
+                variant_by_contig.get(contig, []),
+                gvcf_rows_by_contig[contig],
+                lambda ctg, pos1: fasta.fetch(ctg, pos1 - 1, pos1) or "N")
+            out.write("\n".join(merged) + ("\n" if merged else ""))
+    return gvcf_path
+
+
 def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 cfg: PileupConfig | None = None, call_cfg: CallConfig | None = None,
                 params=None, forward=None, contigs=None, chunk_size=None,
@@ -135,14 +166,26 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                         chunk_size=chunk_size or config.CHUNK_SIZE)
     stats = CallStats()
     rows_by_contig: dict = {}
+    gvcf_rows_by_contig: dict = {} if call_cfg.gvcf else None
     for task in tasks:
         t0 = time.time()
-        records = build_chunk_tensors(
+        records, feat, ref_seq, ref_lo = build_chunk_tensors(
             bam, fasta, task, cfg,
             known_positions=known_vcf_positions.get(task.ctg_name)
             if known_vcf_positions else None,
-            bed_regions=bed_regions)
+            bed_regions=bed_regions, return_features=True)
         stats.build_s += time.time() - t0
+        if call_cfg.gvcf:
+            from clair3_rna_tpu.gvcf import NonVariantAccumulator
+            from clair3_rna_tpu.pileup.chunk import gvcf_site_arrays
+            acc = NonVariantAccumulator()
+            sites = gvcf_site_arrays(feat, task, ref_seq, ref_lo)
+            if sites is None:
+                acc.push_empty_region(task.ctg_name, task.start + 1, task.end)
+            else:
+                positions, refs, n_total, n_ref = sites
+                acc.push_array(task.ctg_name, positions, refs, n_total, n_ref)
+            gvcf_rows_by_contig.setdefault(task.ctg_name, []).extend(acc.finish())
         rows = call_tensor_records(records, forward, params, cfg, call_cfg, stats)
         rows_by_contig.setdefault(task.ctg_name, []).extend(rows)
         if progress:
@@ -158,7 +201,15 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         output_no_tagging_fn=output_no_tagging_path if rediportal else None,
         reference_file_path=ref_path,
         sample_name=sample_name or cfg.sample_name,
-        cmd_line=cmd_line, compress=compress)
+        cmd_line=cmd_line, compress=False)
+
+    if call_cfg.gvcf:
+        outputs.append(_write_gvcf(output_path, outputs[0], gvcf_rows_by_contig,
+                                   fasta, ref_path,
+                                   sample_name or cfg.sample_name))
+    if compress:
+        from clair3_rna_tpu.io.vcf import compress_index_vcf
+        outputs = [compress_index_vcf(p) for p in outputs]
     if progress:
         logger.info(
             "calling done: %d candidates, %d decoded, %d rows (%d tagged); "

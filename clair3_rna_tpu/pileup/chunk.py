@@ -72,7 +72,7 @@ def open_bam(path: str, prefer_native: bool = True):
 
 def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
                         cfg: PileupConfig, known_positions=None,
-                        bed_regions=None):
+                        bed_regions=None, return_features=False):
     """Produce TensorRecords for one chunk (the reference pipeline's unit of
     work). Returns records ordered by center position.
 
@@ -116,9 +116,36 @@ def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
         known_positions=np.asarray(known_positions, dtype=np.int64)
         if known_positions is not None else None,
     )
-    return builder.build_tensors(
+    records = builder.build_tensors(
         indels, feat, cfg, task.ctg_name, ref_seq, ref_lo, mask,
     )
+    if return_features:
+        return records, feat, ref_seq, ref_lo
+    return records
+
+
+def gvcf_site_arrays(feat, task: ChunkTask, ref_seq: str, ref_lo: int):
+    """Per-site (pos_1based, ref, n_total, n_ref) for GVCF accumulation over
+    the chunk core [start, end): n_total/n_ref come from the pileup groups
+    (ACGT+I+D, stars excluded), matching the reference's pileup_list sums
+    (src/create_tensor_pileup.py:539-549)."""
+    core_lo = task.start - feat.start
+    core_hi = task.end - feat.start
+    idx = np.nonzero(feat.covered[core_lo:core_hi])[0] + core_lo
+    if len(idx) == 0:
+        return None
+    n_total = feat.group_count[idx].sum(axis=1)
+    eff = feat.eff_ref_code[idx].astype(np.int64)
+    n_ref = np.take_along_axis(feat.group_count[idx, :4], eff[:, None], axis=1)[:, 0]
+    # positions whose true ref is not ACGT contribute ref 'N'
+    positions = idx + feat.start + 1
+    refs = [ref_seq[p - 1 - ref_lo] if feat.ref_code[i] >= 0 else "N"
+            for i, p in zip(idx, positions)]
+    # mpileup-depth-0 rows (skip-only coverage) report n_total = 0
+    depth0 = feat.depth[idx] == 0
+    n_total = np.where(depth0, 0, n_total)
+    n_ref = np.where(depth0, 0, n_ref)
+    return positions, refs, n_total, n_ref
 
 
 def _extend_regions(bed_regions, ctg_name, pad):
