@@ -1,0 +1,120 @@
+"""Offline toolkit: AF distribution, stratified metrics, truth filtering,
+editing-site discovery, add-back, concat."""
+
+import numpy as np
+
+from clair3_rna_tpu.config import PileupConfig
+from tests import simdata
+
+
+def _write_truth(path, variants, contig="chr1"):
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER"
+                "\tINFO\tFORMAT\tS\n")
+        for v in variants[contig]:
+            gt = "1/1" if v.genotype == (1, 1) else "0/1"
+            f.write(f"{contig}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\t.\tGT\t{gt}\n")
+    return path
+
+
+def test_truth_site_support_and_filtering(tmp_path):
+    from clair3_rna_tpu.evaluation.af_distribution import (
+        load_truths_file, truth_site_support, write_truths_file)
+    from clair3_rna_tpu.evaluation.truth_filter import (
+        find_low_confident_variants, write_filtered_truth)
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=41, contig_len=6000, n_variants=12, depth=30)
+    truth_path = _write_truth(str(tmp_path / "truth.vcf"), variants)
+
+    records = truth_site_support(bam, fasta, truth_path)
+    assert len(records) == len(variants["chr1"])
+    by_pos = {(c, p): (cov, alts) for c, p, cov, alts in records}
+    hom_snps = [v for v in variants["chr1"] if v.is_snp and v.genotype == (1, 1)]
+    for v in hom_snps:
+        cov, alts = by_pos[("chr1", v.pos + 1)]
+        assert cov > 0 and alts[0] > cov * 0.6, (v, cov, alts)
+
+    truths_fn = write_truths_file(records, str(tmp_path / "truths"))
+    support = load_truths_file(truths_fn)
+    assert len(support) == len(records)
+
+    kept, dropped = find_low_confident_variants(truth_path, support)
+    assert len(kept) >= len(variants["chr1"]) * 0.5
+    out = write_filtered_truth(truth_path, kept, str(tmp_path / "filtered.vcf"))
+    body = [l for l in open(out) if not l.startswith("#")]
+    assert len(body) == len(kept)
+
+
+def test_stratified_metrics(tmp_path):
+    from clair3_rna_tpu.caller.decode import CallConfig
+    from clair3_rna_tpu.caller.pipeline import run_calling
+    from clair3_rna_tpu.evaluation.af_distribution import (
+        load_truths_file, truth_site_support, write_truths_file)
+    from clair3_rna_tpu.evaluation.overall_metrics import stratified_metrics
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=42, contig_len=5000, n_variants=10, depth=30)
+    truth_path = _write_truth(str(tmp_path / "truth.vcf"), variants)
+    out_path = str(tmp_path / "calls.vcf")
+    outputs, _ = run_calling(bam, fasta, out_path, cfg=PileupConfig(batch_size=64),
+                             call_cfg=CallConfig(), compress=False, progress=False)
+    truths_fn = write_truths_file(
+        truth_site_support(bam, fasta, truth_path), str(tmp_path / "truths"))
+    results = stratified_metrics(
+        outputs[0], truth_path, truths_support=load_truths_file(truths_fn),
+        min_coverage=4, min_alt_coverage=2, skip_genotyping=True)
+    assert results and 0.0 <= results[0].f1 <= 1.0
+
+
+def test_editing_site_discovery(tmp_path):
+    import random
+    from clair3_rna_tpu.evaluation.silver_editing import find_editing_sites
+    from clair3_rna_tpu.io.fasta import write_fasta
+
+    rng = random.Random(3)
+    genome = simdata.random_genome(rng, [("chr1", 3000)])
+    # plant a hom A->G "editing" site
+    seq = list(genome["chr1"])
+    seq[1500] = "A"
+    genome["chr1"] = "".join(seq)
+    v = simdata.Variant(1500, "A", "G", (1, 1))
+    variants = {"chr1": [v]}
+    write_fasta(str(tmp_path / "r.fa"), genome)
+    simdata.simulate_bam(str(tmp_path / "r.bam"), genome, variants, rng, depth=40)
+    sites = find_editing_sites(str(tmp_path / "r.bam"), str(tmp_path / "r.fa"),
+                               rna_min_af=0.75)
+    assert ("chr1", 1501) in {(c, p) for c, p, *_ in sites}
+
+
+def test_add_back_and_concat(tmp_path):
+    from clair3_rna_tpu.postprocess.concat import concat_files
+    from clair3_rna_tpu.postprocess.genotyping import add_back_missing_variants
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=43, contig_len=3000, n_variants=6, depth=25)
+    sites_path = _write_truth(str(tmp_path / "sites.vcf"), variants)
+    # calls: only the first site called
+    call_path = str(tmp_path / "calls.vcf")
+    v0 = variants["chr1"][0]
+    with open(call_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER"
+                "\tINFO\tFORMAT\tS\n")
+        f.write(f"chr1\t{v0.pos + 1}\t.\t{v0.ref}\t{v0.alt}\t20.00\tPASS\t.\t"
+                f"GT:GQ:DP:AD:AF\t0/1:20:30:15,15:0.5000\n")
+    out, n_added = add_back_missing_variants(
+        call_path, sites_path, bam, fasta, str(tmp_path / "merged.vcf"))
+    assert n_added == len(variants["chr1"]) - 1
+    body = [l for l in open(out) if not l.startswith("#")]
+    assert len(body) == len(variants["chr1"])
+    assert sum(1 for l in body if "./." in l) == n_added
+    positions = [int(l.split("\t")[1]) for l in body]
+    assert positions == sorted(positions)
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    (d / "part_a.txt").write_text("#h\n1\n")
+    (d / "part_b.txt").write_text("#h\n2\n")
+    out, n = concat_files(str(d), str(tmp_path / "cat.txt"), prefix="part_")
+    assert n == 2
+    assert open(out).read() == "#h\n1\n2\n"
