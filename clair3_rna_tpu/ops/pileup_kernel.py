@@ -164,12 +164,21 @@ def pileup_counts_jax(event_pos, event_channel, length, n_channels=18):
     return np.asarray(_segment_counts(idx, ones, int(length), int(n_channels)))
 
 
-def pileup_counts(event_pos, event_channel, length, n_channels=18):
-    """Dispatch to the Pallas kernel on TPU, segment-sum elsewhere."""
+def pileup_counts(event_pos, event_channel, length, n_channels=18,
+                  use_pallas=False):
+    """Device scatter-count dispatch.
+
+    Measured on a v5e chip with 3M events over 32k positions: the XLA
+    segment-sum path reaches ~130M events/s while the Pallas one-hot-matmul
+    kernel is latency-bound on its data-dependent block DMAs (~5M events/s),
+    so segment-sum is the default on every backend and the Pallas kernel
+    stays opt-in until its block streaming is double-buffered. (The
+    production pipeline builds counts in the native C++ extractor anyway;
+    this device path exists for TPU-resident end-to-end experiments.)
+    """
     if len(event_pos) == 0:
         return np.zeros((length, n_channels), np.int32)
-    backend = jax.default_backend()
-    if backend == "tpu":
+    if use_pallas and jax.default_backend() == "tpu":
         return pileup_counts_pallas(event_pos, event_channel, length,
                                     n_channels)
     return pileup_counts_jax(event_pos, event_channel, length, n_channels)
