@@ -47,6 +47,15 @@ def make_data(tmpdir):
 
 def bench_ours(fasta_path, bam_path):
     import numpy as np
+    import jax
+    # persistent executable cache: the first bench run on a chip pays the
+    # (tunnelled) XLA compile once; later runs deserialize in milliseconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     from clair3_rna_tpu.config import PileupConfig
     from clair3_rna_tpu.caller.decode import CallConfig
     from clair3_rna_tpu.caller.pipeline import batch_tensors, prescreen_mask, decode_batch
@@ -77,9 +86,10 @@ def bench_ours(fasta_path, bam_path):
     # warmup/compile
     np.asarray(forward(params, batches[0]))
     t0 = time.time()
-    outs = [np.asarray(forward(params, b)) for b in batches]
+    # async dispatch: enqueue all batches, then materialize
+    outs = [forward(params, b) for b in batches]
+    probs = np.concatenate([np.asarray(o) for o in outs])[:n]
     t_infer = time.time() - t0
-    probs = np.concatenate(outs)[:n]
 
     t0 = time.time()
     refseq_list = [r.ref_seq for r in records]

@@ -32,14 +32,15 @@ def batch_tensors(records, cfg: PileupConfig):
     max_depth/depth when depth > 1.5x max_depth, then truncate back to int)."""
     n = len(records)
     channels = cfg.channel_size
-    X = np.empty((n, config.NO_OF_POSITIONS, channels), dtype=np.int32)
     max_depth = config.MAX_DEPTH_BY_PLATFORM.get(cfg.platform, config.MAX_DEPTH)
+    X = np.empty((n, config.NO_OF_POSITIONS, channels), dtype=np.int32)
     for i, rec in enumerate(records):
-        tensor = rec.tensor
-        if rec.depth > 0 and rec.depth > max_depth * 1.5:
-            X[i] = tensor / (rec.depth / max_depth)
-        else:
-            X[i] = tensor
+        X[i] = rec.tensor
+    depths = np.fromiter((rec.depth for rec in records), dtype=np.int64, count=n)
+    renorm = np.nonzero(depths > max_depth * 1.5)[0]
+    if len(renorm):
+        # float-divide then truncate toward zero, as int assignment does
+        X[renorm] = X[renorm] / (depths[renorm, None, None] / max_depth)
     return X
 
 
@@ -81,16 +82,19 @@ def call_tensor_records(records, forward, params, cfg: PileupConfig,
     batch = cfg.batch_size
     probs = np.empty((n, 24 + (66 if call_cfg.add_indel_length else 0)), np.float32)
     t0 = time.time()
+    # enqueue every batch before materializing any: JAX's async dispatch
+    # overlaps host batch prep / transfers with device compute
+    pending = []
     for lo in range(0, n, batch):
         hi = min(lo + batch, n)
         chunk = X[lo:hi]
         if hi - lo < batch:
             # pad to the fixed jit batch shape; surplus rows are discarded
             pad = np.zeros((batch - (hi - lo),) + X.shape[1:], X.dtype)
-            out = np.asarray(forward(params, np.concatenate([chunk, pad])))[:hi - lo]
-        else:
-            out = np.asarray(forward(params, chunk))
-        probs[lo:hi] = out
+            chunk = np.concatenate([chunk, pad])
+        pending.append((lo, hi, forward(params, chunk)))
+    for lo, hi, out in pending:
+        probs[lo:hi] = np.asarray(out)[:hi - lo]
     stats.infer_s += time.time() - t0
 
     t0 = time.time()

@@ -90,7 +90,7 @@ class _TileOut(ctypes.Structure):
 def _build_library():
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB_PATH, "-lz"]
+           _SRC, "-o", _LIB_PATH, "-lz", "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 

@@ -16,6 +16,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -523,41 +524,39 @@ constexpr int CH_A = 0, CH_I = 4, CH_I1 = 5, CH_D = 6, CH_D1 = 7, CH_STAR = 8,
 constexpr int64_t RANK_INF = int64_t(1) << 60;
 }
 
-TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
-                           int64_t end, int32_t min_mq, int32_t min_bq,
-                           int32_t exclude_flags, int32_t phased) {
-  auto* bam = static_cast<BamFile*>(handle);
-  int64_t width = end - start;
-  int32_t n_channels = 18 + (phased ? 12 : 0);
+namespace {
 
-  std::vector<int32_t> counts(width * n_channels, 0);
-  std::vector<int32_t> group_count(width * 6, 0);
-  std::vector<int64_t> group_rank(width * 6, RANK_INF);
-  std::vector<int32_t> max_del_length(width, 0);
-  std::vector<int32_t> read_start_count(width, 0), read_end_count(width, 0),
-      skip_fwd(width, 0), skip_rev(width, 0), cover_diff(width + 1, 0);
-
+// Per-thread sparse outputs for one position subrange [sub_lo, sub_hi).
+struct TileShard {
   std::vector<int32_t> ins_pos, ins_allele;
   std::vector<int8_t> ins_strand;
   std::vector<int64_t> ins_rank;
   std::vector<int32_t> del_pos, del_len;
   std::vector<int8_t> del_strand;
   std::vector<int64_t> del_rank;
-  std::unordered_map<std::string, int32_t> allele_ids;
-  std::string ins_blob;
-  int64_t n_alleles = 0;
+  std::unordered_map<std::string, int32_t> allele_ids;  // local ids
+  std::vector<std::string> allele_seqs;
+  std::vector<int32_t> cover_diff;  // local, width sub_hi - sub_lo + 1
+};
 
-  int64_t read_index = -1;
-  for (const RecordView& rv : bam->records) {
-    if (rv.ref_id != ref_id) {
-      if (rv.ref_id > ref_id && ref_id >= 0) break;
-      continue;
-    }
-    if (rv.pos >= end) break;
-    if ((rv.flag & exclude_flags) || rv.mapq < min_mq) continue;
-    if (rv.end <= start) continue;
-    ++read_index;
-    int64_t rank = 2 * read_index;
+// Process all records overlapping [sub_lo, sub_hi), writing the dense images
+// only inside that subrange. Dense arrays are shared across threads: each
+// thread owns a disjoint position slice, so writes never race. Records
+// spanning a boundary are re-walked by both owners with clipped inner loops.
+void tile_worker(const std::vector<const RecordView*>& recs,
+                 const std::vector<int64_t>& ranks, int64_t start,
+                 int64_t sub_lo, int64_t sub_hi, int32_t min_bq,
+                 int32_t n_channels, int32_t phased, int32_t* counts,
+                 int32_t* group_count, int64_t* group_rank,
+                 int32_t* max_del_length, int32_t* read_start_count,
+                 int32_t* read_end_count, int32_t* skip_fwd, int32_t* skip_rev,
+                 TileShard* shard) {
+  shard->cover_diff.assign(sub_hi - sub_lo + 1, 0);
+  for (size_t ri = 0; ri < recs.size(); ++ri) {
+    const RecordView& rv = *recs[ri];
+    if (rv.pos >= sub_hi) break;
+    if (rv.end <= sub_lo) continue;
+    int64_t rank = ranks[ri];
     int8_t strand = (rv.flag & 0x10) ? 1 : 0;
 
     const uint8_t* body = rv.body;
@@ -572,14 +571,15 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
     const uint8_t* tags = qual + l_seq;
     int hp = phased ? parse_hp_tag(tags, body + rv.body_len) : 0;
 
-    if (rv.pos >= start && rv.pos < end) read_start_count[rv.pos - start] += 1;
-    if (rv.end - 1 >= start && rv.end - 1 < end)
+    if (rv.pos >= sub_lo && rv.pos < sub_hi)
+      read_start_count[rv.pos - start] += 1;
+    if (rv.end - 1 >= sub_lo && rv.end - 1 < sub_hi)
       read_end_count[rv.end - 1 - start] += 1;
-    int64_t clo = rv.pos > start ? rv.pos : start;
-    int64_t chi = rv.end < end ? rv.end : end;
+    int64_t clo = rv.pos > sub_lo ? rv.pos : sub_lo;
+    int64_t chi = rv.end < sub_hi ? rv.end : sub_hi;
     if (clo < chi) {
-      cover_diff[clo - start] += 1;
-      cover_diff[chi - start] -= 1;
+      shard->cover_diff[clo - sub_lo] += 1;
+      shard->cover_diff[chi - sub_lo] -= 1;
     }
 
     int64_t qpos = 0, rpos = rv.pos;
@@ -589,8 +589,8 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
       int op = v & 0xF;
       int64_t len = v >> 4;
       if (op == CIGAR_M || op == CIGAR_EQ || op == CIGAR_X) {
-        int64_t lo = rpos > start ? rpos : start;
-        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        int64_t lo = rpos > sub_lo ? rpos : sub_lo;
+        int64_t hi = (rpos + len) < sub_hi ? (rpos + len) : sub_hi;
         for (int64_t p = lo; p < hi; ++p) {
           int64_t qi = qpos + (p - rpos);
           uint8_t byte = seq[qi >> 1];
@@ -610,7 +610,7 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
             counts[w * n_channels + 18 + (hp - 1) * 6 + code] += 1;
         }
         int64_t attach = rpos + len - 1;
-        if (attach >= start && attach < end && k + 1 < n_cigar) {
+        if (attach >= sub_lo && attach < sub_hi && k + 1 < n_cigar) {
           uint32_t nv;
           memcpy(&nv, cig + 4 * (k + 1), 4);
           int nop = nv & 0xF;
@@ -625,13 +625,12 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
               uint8_t nt16 = (qi & 1) ? (byte & 0xF) : (byte >> 4);
               allele.push_back(SEQ_NT16[nt16]);
             }
-            auto it = allele_ids.find(allele);
+            auto it = shard->allele_ids.find(allele);
             int32_t id;
-            if (it == allele_ids.end()) {
-              id = static_cast<int32_t>(n_alleles++);
-              allele_ids.emplace(allele, id);
-              ins_blob += allele;
-              ins_blob.push_back('\0');
+            if (it == shard->allele_ids.end()) {
+              id = static_cast<int32_t>(shard->allele_seqs.size());
+              shard->allele_ids.emplace(allele, id);
+              shard->allele_seqs.push_back(allele);
             } else {
               id = it->second;
             }
@@ -641,10 +640,10 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
             if (rank + 1 < gr) gr = rank + 1;
             if (phased && hp >= 1 && hp <= 2)
               counts[w * n_channels + 18 + (hp - 1) * 6 + 4] += 1;
-            ins_pos.push_back(static_cast<int32_t>(attach));
-            ins_strand.push_back(strand);
-            ins_rank.push_back(rank + 1);
-            ins_allele.push_back(id);
+            shard->ins_pos.push_back(static_cast<int32_t>(attach));
+            shard->ins_strand.push_back(strand);
+            shard->ins_rank.push_back(rank + 1);
+            shard->ins_allele.push_back(id);
           } else if (nop == CIGAR_D) {
             counts[w * n_channels + (strand ? CH_d : CH_D)] += 1;
             group_count[w * 6 + 5] += 1;
@@ -652,25 +651,26 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
             if (rank + 1 < gr) gr = rank + 1;
             if (phased && hp >= 1 && hp <= 2)
               counts[w * n_channels + 18 + (hp - 1) * 6 + 5] += 1;
-            if (nlen > max_del_length[w]) max_del_length[w] = static_cast<int32_t>(nlen);
-            del_pos.push_back(static_cast<int32_t>(attach));
-            del_strand.push_back(strand);
-            del_rank.push_back(rank + 1);
-            del_len.push_back(static_cast<int32_t>(nlen));
+            if (nlen > max_del_length[w])
+              max_del_length[w] = static_cast<int32_t>(nlen);
+            shard->del_pos.push_back(static_cast<int32_t>(attach));
+            shard->del_strand.push_back(strand);
+            shard->del_rank.push_back(rank + 1);
+            shard->del_len.push_back(static_cast<int32_t>(nlen));
           }
         }
         qpos += len;
         rpos += len;
       } else if (op == CIGAR_D) {
-        int64_t lo = rpos > start ? rpos : start;
-        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        int64_t lo = rpos > sub_lo ? rpos : sub_lo;
+        int64_t hi = (rpos + len) < sub_hi ? (rpos + len) : sub_hi;
         for (int64_t p = lo; p < hi; ++p)
           counts[(p - start) * n_channels + (strand ? CH_HASH : CH_STAR)] += 1;
         rpos += len;
       } else if (op == CIGAR_N) {
-        int64_t lo = rpos > start ? rpos : start;
-        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
-        auto& target = strand ? skip_rev : skip_fwd;
+        int64_t lo = rpos > sub_lo ? rpos : sub_lo;
+        int64_t hi = (rpos + len) < sub_hi ? (rpos + len) : sub_hi;
+        int32_t* target = strand ? skip_rev : skip_fwd;
         for (int64_t p = lo; p < hi; ++p) target[p - start] += 1;
         rpos += len;
       } else if (op == CIGAR_I || op == CIGAR_S) {
@@ -679,30 +679,32 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
     }
   }
 
-  // I1/i1: most-supported single insertion allele per (pos, strand)
+  // I1/i1, D1/d1 for this subrange: every event at an owned position lives in
+  // this shard, so local allele ids are sufficient for per-allele grouping.
   {
     std::unordered_map<int64_t, int32_t> per_allele;
-    per_allele.reserve(ins_pos.size() * 2);
-    for (size_t i = 0; i < ins_pos.size(); ++i) {
-      int64_t key = ((int64_t(ins_pos[i] - start) * 2 + ins_strand[i])
-                     * (n_alleles ? n_alleles : 1)) + ins_allele[i];
+    int64_t n_local = static_cast<int64_t>(shard->allele_seqs.size());
+    per_allele.reserve(shard->ins_pos.size() * 2);
+    for (size_t i = 0; i < shard->ins_pos.size(); ++i) {
+      int64_t key = ((int64_t(shard->ins_pos[i] - start) * 2
+                      + shard->ins_strand[i]) * (n_local ? n_local : 1))
+                    + shard->ins_allele[i];
       per_allele[key] += 1;
     }
     for (const auto& kv : per_allele) {
-      int64_t ps = kv.first / (n_alleles ? n_alleles : 1);
+      int64_t ps = kv.first / (n_local ? n_local : 1);
       int64_t w = ps / 2;
       int strand = static_cast<int>(ps % 2);
       int32_t& slot = counts[w * n_channels + (strand ? CH_i1 : CH_I1)];
       if (kv.second > slot) slot = kv.second;
     }
   }
-  // D1/d1: most-supported single deletion length per (pos, strand)
   {
     std::unordered_map<int64_t, int32_t> per_len;
-    per_len.reserve(del_pos.size() * 2);
-    for (size_t i = 0; i < del_pos.size(); ++i) {
-      int64_t key = (int64_t(del_pos[i] - start) * 2 + del_strand[i]) * 100001
-                    + del_len[i];
+    per_len.reserve(shard->del_pos.size() * 2);
+    for (size_t i = 0; i < shard->del_pos.size(); ++i) {
+      int64_t key = (int64_t(shard->del_pos[i] - start) * 2
+                     + shard->del_strand[i]) * 100001 + shard->del_len[i];
       per_len[key] += 1;
     }
     for (const auto& kv : per_len) {
@@ -713,12 +715,132 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
       if (kv.second > slot) slot = kv.second;
     }
   }
+}
 
+int tile_thread_count(int64_t width, size_t n_records) {
+  const char* env = getenv("CLAIR3_RNA_TPU_NATIVE_THREADS");
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int t = env ? atoi(env) : (hw > 0 ? hw : 1);
+  if (t < 1) t = 1;
+  if (t > 64) t = 64;
+  // below ~64kb of positions or very few reads, thread spawn overhead wins
+  int64_t by_width = width / 65536;
+  int64_t by_records = static_cast<int64_t>(n_records / 512);
+  int64_t cap = by_width < by_records ? by_width : by_records;
+  if (cap < 1) cap = 1;
+  return t < cap ? t : static_cast<int>(cap);
+}
+
+}  // namespace
+
+TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
+                           int64_t end, int32_t min_mq, int32_t min_bq,
+                           int32_t exclude_flags, int32_t phased) {
+  auto* bam = static_cast<BamFile*>(handle);
+  int64_t width = end - start;
+  int32_t n_channels = 18 + (phased ? 12 : 0);
+
+  std::vector<int32_t> counts(width * n_channels, 0);
+  std::vector<int32_t> group_count(width * 6, 0);
+  std::vector<int64_t> group_rank(width * 6, RANK_INF);
+  std::vector<int32_t> max_del_length(width, 0);
+  std::vector<int32_t> read_start_count(width, 0), read_end_count(width, 0),
+      skip_fwd(width, 0), skip_rev(width, 0);
+
+  // filter pass: global rank order must match the reference's mpileup read
+  // order regardless of how the position axis is partitioned
+  std::vector<const RecordView*> recs;
+  std::vector<int64_t> ranks;
+  for (const RecordView& rv : bam->records) {
+    if (rv.ref_id != ref_id) {
+      if (rv.ref_id > ref_id && ref_id >= 0) break;
+      continue;
+    }
+    if (rv.pos >= end) break;
+    if ((rv.flag & exclude_flags) || rv.mapq < min_mq) continue;
+    if (rv.end <= start) continue;
+    ranks.push_back(2 * static_cast<int64_t>(recs.size()));
+    recs.push_back(&rv);
+  }
+
+  int n_threads = tile_thread_count(width, recs.size());
+  std::vector<TileShard> shards(n_threads);
+  std::vector<int64_t> bounds(n_threads + 1);
+  for (int t = 0; t <= n_threads; ++t)
+    bounds[t] = start + width * t / n_threads;
+
+  if (n_threads == 1) {
+    tile_worker(recs, ranks, start, start, end, min_bq, n_channels, phased,
+                counts.data(), group_count.data(), group_rank.data(),
+                max_del_length.data(), read_start_count.data(),
+                read_end_count.data(), skip_fwd.data(), skip_rev.data(),
+                &shards[0]);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) {
+      threads.emplace_back(tile_worker, std::cref(recs), std::cref(ranks),
+                           start, bounds[t], bounds[t + 1], min_bq, n_channels,
+                           phased, counts.data(), group_count.data(),
+                           group_rank.data(), max_del_length.data(),
+                           read_start_count.data(), read_end_count.data(),
+                           skip_fwd.data(), skip_rev.data(), &shards[t]);
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  // merge shards: remap thread-local insertion allele ids into one global
+  // table (deterministic: shards visited in position order, local ids in
+  // first-occurrence order)
+  std::vector<int32_t> ins_pos, ins_allele;
+  std::vector<int8_t> ins_strand;
+  std::vector<int64_t> ins_rank;
+  std::vector<int32_t> del_pos, del_len;
+  std::vector<int8_t> del_strand;
+  std::vector<int64_t> del_rank;
+  std::unordered_map<std::string, int32_t> allele_ids;
+  std::string ins_blob;
+  int64_t n_alleles = 0;
+  for (TileShard& shard : shards) {
+    std::vector<int32_t> remap(shard.allele_seqs.size());
+    for (size_t i = 0; i < shard.allele_seqs.size(); ++i) {
+      const std::string& allele = shard.allele_seqs[i];
+      auto it = allele_ids.find(allele);
+      if (it == allele_ids.end()) {
+        remap[i] = static_cast<int32_t>(n_alleles);
+        allele_ids.emplace(allele, static_cast<int32_t>(n_alleles));
+        ins_blob += allele;
+        ins_blob.push_back('\0');
+        ++n_alleles;
+      } else {
+        remap[i] = it->second;
+      }
+    }
+    for (size_t i = 0; i < shard.ins_pos.size(); ++i) {
+      ins_pos.push_back(shard.ins_pos[i]);
+      ins_strand.push_back(shard.ins_strand[i]);
+      ins_rank.push_back(shard.ins_rank[i]);
+      ins_allele.push_back(remap[shard.ins_allele[i]]);
+    }
+    del_pos.insert(del_pos.end(), shard.del_pos.begin(), shard.del_pos.end());
+    del_strand.insert(del_strand.end(), shard.del_strand.begin(),
+                      shard.del_strand.end());
+    del_rank.insert(del_rank.end(), shard.del_rank.begin(),
+                    shard.del_rank.end());
+    del_len.insert(del_len.end(), shard.del_len.begin(), shard.del_len.end());
+  }
+
+  // cover prefix sums are subrange-local: every read overlapping a subrange
+  // contributed its clipped interval there, so each shard's running sum
+  // starts from zero at its own sub_lo
   std::vector<int32_t> cover(width);
-  int32_t acc = 0;
-  for (int64_t i = 0; i < width; ++i) {
-    acc += cover_diff[i];
-    cover[i] = acc;
+  for (int t = 0; t < n_threads; ++t) {
+    int32_t acc = 0;
+    int64_t sub_lo = bounds[t] - start, sub_hi = bounds[t + 1] - start;
+    for (int64_t i = sub_lo; i < sub_hi; ++i) {
+      acc += shards[t].cover_diff[i - sub_lo];
+      cover[i] = acc;
+    }
   }
 
   auto* out = new TileOut();

@@ -53,14 +53,34 @@ class TileFeatures:
     eff_ref_code: np.ndarray  # [L] int8 with non-ACGT mapped to A (evc_base_from)
 
 
-@dataclass
 class TensorRecord:
-    ctg_name: str
-    position: int             # 1-based center position (VCF coordinate)
-    ref_seq: str              # 33-base window reference sequence
-    tensor: np.ndarray        # [33, 18(+12)] int32
-    alt_info: str             # "depth-K1 c1 K2 c2 ..."
-    depth: int
+    """One emitted candidate window.
+
+    alt_info ("depth-K1 c1 K2 c2 ...") is computed lazily: in the calling
+    pipeline only the ~1% of sites surviving the homRef prescreen ever read
+    it, so serializing every candidate's allele summary upfront would
+    dominate host time (the reference pays this cost for every site,
+    src/create_tensor_pileup.py:595-605)."""
+
+    __slots__ = ("ctg_name", "position", "ref_seq", "tensor", "depth",
+                 "_alt_info", "_alt_thunk")
+
+    def __init__(self, ctg_name, position, ref_seq, tensor, depth,
+                 alt_info=None, alt_thunk=None):
+        self.ctg_name = ctg_name
+        self.position = position   # 1-based center position (VCF coordinate)
+        self.ref_seq = ref_seq     # 33-base window reference sequence
+        self.tensor = tensor       # [33, 18(+12)] int32
+        self.depth = depth
+        self._alt_info = alt_info
+        self._alt_thunk = alt_thunk
+
+    @property
+    def alt_info(self) -> str:
+        if self._alt_info is None:
+            self._alt_info = self._alt_thunk()
+            self._alt_thunk = None
+        return self._alt_info
 
     def to_reference_row(self) -> str:
         """Serialize in the reference TSV format (create_tensor_pileup.py:597-603)."""
@@ -388,6 +408,14 @@ def compute_runs(covered: np.ndarray):
     return run_start, run_end
 
 
+def _sliding_window_max(values: np.ndarray, flank: int) -> np.ndarray:
+    """out[i] = max(values[i-flank : i+flank+1]) with zero padding."""
+    padded = np.concatenate([
+        np.zeros(flank, values.dtype), values, np.zeros(flank, values.dtype)])
+    view = np.lib.stride_tricks.sliding_window_view(padded, 2 * flank + 1)
+    return view.max(axis=1)
+
+
 def build_tensors(indels, feat: TileFeatures, cfg: PileupConfig,
                   ctg_name: str, ref_seq: str, ref_seq_start: int,
                   candidate_mask: np.ndarray,
@@ -397,6 +425,13 @@ def build_tensors(indels, feat: TileFeatures, cfg: PileupConfig,
     emit_lo/emit_hi bound the candidate centers actually emitted (tile core),
     while indels/feat may span a halo. Positions are 0-based internally.
     `indels` is a SparseIndels or a PileupEvents (converted on the fly).
+
+    The emission is a single batched gather: eligibility (run-length rules)
+    and the splice-padding trigger precondition are computed vectorized, and
+    only candidates that may trigger padding -- or sit within the 2*flank
+    reach of one's in-place image mutations -- take a sequential path that
+    replays the reference's ring-buffer mutation order exactly
+    (src/create_tensor_pileup.py:561-611).
     """
     if isinstance(indels, PileupEvents):
         indels = SparseIndels.from_events(indels)
@@ -412,85 +447,142 @@ def build_tensors(indels, feat: TileFeatures, cfg: PileupConfig,
         cand_idx = cand_idx[cand_idx + start >= emit_lo]
     if emit_hi is not None:
         cand_idx = cand_idx[cand_idx + start < emit_hi]
+    if len(cand_idx) == 0:
+        return []
 
     last_covered = int(np.nonzero(feat.covered)[0][-1]) if feat.covered.any() else -1
 
-    records = []
-    emitted_centers = set()  # splice-mode depth_dict deletion quirk
-    for ci in cand_idx:
-        rs, re_ = int(run_start[ci]), int(run_end[ci])
-        if cfg.enable_head_tail:
-            if not (re_ >= ci + flank or re_ == last_covered):
-                continue
-            from_flush = re_ < ci + flank
-        else:
-            if not (rs <= ci - flank and re_ >= ci + flank):
-                continue
-            from_flush = False
+    # eligibility: depends only on covered-run extents, never on mutations
+    rs = run_start[cand_idx]
+    re_ = run_end[cand_idx]
+    if cfg.enable_head_tail:
+        kept = (re_ >= cand_idx + flank) | (re_ == last_covered)
+        from_flush = re_ < cand_idx + flank
+    else:
+        kept = (rs <= cand_idx - flank) & (re_ >= cand_idx + flank)
+        from_flush = np.zeros(len(cand_idx), dtype=bool)
+    cand_idx = cand_idx[kept]
+    rs, re_, from_flush = rs[kept], re_[kept], from_flush[kept]
+    n = len(cand_idx)
+    if n == 0:
+        return []
 
-        lo = ci - flank
-        hi = ci + flank + 1
-        tensor = np.zeros((window, tensor_img.shape[1]), dtype=np.int32)
-        src_lo, src_hi = max(lo, 0), min(hi, width)
-        tensor[src_lo - lo: src_hi - lo] = tensor_img[src_lo:src_hi]
+    # splice-padding trigger precondition (conservative superset): the actual
+    # trigger ratio max_skip_win / max_depth_live exceeds the threshold only
+    # if max_skip_win > threshold * depth[center], because the center is
+    # always live so max_depth_live >= depth[center].
+    if cfg.enable_splice_padding:
+        skip_masked = np.where(feat.covered, feat.max_skip, 0).astype(np.int32)
+        win_max_skip = _sliding_window_max(skip_masked, flank)[cand_idx]
+        cdepth = feat.depth[cand_idx].astype(np.float64)
+        maybe = (~from_flush) & (
+            (win_max_skip > config.SKIP_PROPORTION_THRESHOLD * cdepth)
+            | ((cdepth == 0) & (win_max_skip > 0)))
+    else:
+        maybe = np.zeros(n, dtype=bool)
+
+    # a maybe-trigger's image mutations reach positions within +-flank of its
+    # center, i.e. windows of candidates within 2*flank; those emit serially
+    if maybe.any():
+        maybe_pos = cand_idx[maybe]
+        j = np.searchsorted(maybe_pos, cand_idx)
+        unsafe = np.zeros(n, dtype=bool)
+        has_left = j > 0
+        unsafe[has_left] = (cand_idx[has_left]
+                            - maybe_pos[j[has_left] - 1]) <= 2 * flank
+        has_right = j < len(maybe_pos)
+        unsafe[has_right] |= (maybe_pos[j[has_right]]
+                              - cand_idx[has_right]) <= 2 * flank
+    else:
+        unsafe = np.zeros(n, dtype=bool)
+
+    n_channels = tensor_img.shape[1]
+    tensors = np.zeros((n, window, n_channels), dtype=np.int32)
+
+    safe_i = np.nonzero(~unsafe)[0]
+    if len(safe_i):
+        pos = cand_idx[safe_i, None] + np.arange(-flank, flank + 1)[None, :]
+        valid = (pos >= 0) & (pos < width)
+        gathered = tensor_img[np.clip(pos, 0, width - 1)]
+        gathered[~valid] = 0
         if cfg.enable_head_tail:
             # ring-buffer reset semantics: slots outside this run are zero
-            in_run = np.arange(lo, hi)
-            zero_rows = (in_run < rs) | (in_run > re_)
-            tensor[zero_rows] = 0
+            zero_rows = (pos < rs[safe_i, None]) | (pos > re_[safe_i, None])
+            gathered[zero_rows] = 0
+        tensors[safe_i] = gathered
 
-        if cfg.enable_splice_padding and not from_flush:
-            win_positions = np.arange(max(lo, 0), min(hi, width))
-            live = feat.covered[win_positions].copy()
-            for p in win_positions[live]:
-                if p + start in emitted_centers and p != ci:
-                    live[p - max(lo, 0)] = False
-            live_pos = win_positions[live]
-            if len(live_pos):
-                max_depth = int(feat.depth[live_pos].max())
-                cov_pos = win_positions[feat.covered[win_positions]]
-                max_skip_count = int(feat.max_skip[cov_pos].max()) if len(cov_pos) else 0
-                cand_depth = int(feat.depth[ci])
-                if max_depth > 0 and max_skip_count / float(max_depth) > config.SKIP_PROPORTION_THRESHOLD:
-                    eff_center = int(feat.eff_ref_code[ci])
-                    fwd = abs(int(tensor[flank][eff_center]))
-                    rev = abs(int(tensor[flank][eff_center + 9]))
-                    fwd_pct = fwd / float(fwd + rev) if fwd + rev > 0 else 0.0
-                    rev_pct = 1 - fwd_pct
-                    for idx in range(window):
-                        p = ci - flank + idx
-                        if idx == flank:
-                            continue
-                        if 0 <= p < width and feat.covered[p] and (p + start) not in emitted_centers:
-                            current_depth = int(feat.depth[p])
-                        else:
-                            current_depth = 0
-                        if current_depth < cand_depth * config.SKIP_PROPORTION_THRESHOLD:
-                            if not (0 <= p < width):
+    if unsafe.any():
+        # emitted-before-current marks (the reference deletes a candidate's
+        # depth_dict entry when its window is emitted, so later overlapping
+        # windows treat it as depth 0 -- modelled by this boolean image)
+        emitted = np.zeros(width, dtype=bool)
+        mark_ptr = 0
+        for i in np.nonzero(unsafe)[0]:
+            ci = int(cand_idx[i])
+            while mark_ptr < n and cand_idx[mark_ptr] < ci:
+                emitted[cand_idx[mark_ptr]] = True
+                mark_ptr += 1
+            lo = ci - flank
+            hi = ci + flank + 1
+            tensor = tensors[i]
+            src_lo, src_hi = max(lo, 0), min(hi, width)
+            tensor[src_lo - lo: src_hi - lo] = tensor_img[src_lo:src_hi]
+            if cfg.enable_head_tail:
+                in_run = np.arange(lo, hi)
+                zero_rows = (in_run < rs[i]) | (in_run > re_[i])
+                tensor[zero_rows] = 0
+
+            if maybe[i]:
+                win_positions = np.arange(src_lo, src_hi)
+                live = feat.covered[win_positions].copy()
+                live &= ~emitted[win_positions] | (win_positions == ci)
+                live_pos = win_positions[live]
+                if len(live_pos):
+                    max_depth = int(feat.depth[live_pos].max())
+                    cov_pos = win_positions[feat.covered[win_positions]]
+                    max_skip_count = int(feat.max_skip[cov_pos].max()) if len(cov_pos) else 0
+                    cand_depth = int(feat.depth[ci])
+                    if max_depth > 0 and max_skip_count / float(max_depth) > config.SKIP_PROPORTION_THRESHOLD:
+                        eff_center = int(feat.eff_ref_code[ci])
+                        fwd = abs(int(tensor[flank][eff_center]))
+                        rev = abs(int(tensor[flank][eff_center + 9]))
+                        fwd_pct = fwd / float(fwd + rev) if fwd + rev > 0 else 0.0
+                        rev_pct = 1 - fwd_pct
+                        for idx in range(window):
+                            p = ci - flank + idx
+                            if idx == flank:
                                 continue
-                            # write both the emitted window and the shared
-                            # image: the reference mutates its ring-buffer row
-                            # lists in place (create_tensor_pileup.py:592-593),
-                            # so padding persists into later overlapping windows
-                            eff = int(feat.eff_ref_code[p])
-                            tensor[idx][eff] = -int(cand_depth * fwd_pct)
-                            tensor[idx][eff + 9] = -int(cand_depth * rev_pct)
-                            tensor_img[p][eff] = tensor[idx][eff]
-                            tensor_img[p][eff + 9] = tensor[idx][eff + 9]
+                            if 0 <= p < width and feat.covered[p] and not emitted[p]:
+                                current_depth = int(feat.depth[p])
+                            else:
+                                current_depth = 0
+                            if current_depth < cand_depth * config.SKIP_PROPORTION_THRESHOLD:
+                                if not (0 <= p < width):
+                                    continue
+                                # write both the emitted window and the shared
+                                # image: the reference mutates its ring-buffer
+                                # row lists in place
+                                # (create_tensor_pileup.py:592-593), so padding
+                                # persists into later overlapping windows
+                                eff = int(feat.eff_ref_code[p])
+                                tensor[idx][eff] = -int(cand_depth * fwd_pct)
+                                tensor[idx][eff + 9] = -int(cand_depth * rev_pct)
+                                tensor_img[p][eff] = tensor[idx][eff]
+                                tensor_img[p][eff + 9] = tensor[idx][eff + 9]
 
-        center_abs = ci + start
-        ref33 = _flanked_ref(ref_seq, ref_seq_start, center_abs, flank)
-        alt_info = alt_info_string(indels, feat, center_abs, ref_seq,
-                                   ref_seq_start)
+    depths = feat.depth[cand_idx]
+    records = []
+    for i in range(n):
+        center_abs = int(cand_idx[i]) + start
         records.append(TensorRecord(
             ctg_name=ctg_name,
             position=center_abs + 1,
-            ref_seq=ref33,
-            tensor=tensor,
-            alt_info=alt_info,
-            depth=int(feat.depth[ci]),
+            ref_seq=_flanked_ref(ref_seq, ref_seq_start, center_abs, flank),
+            tensor=tensors[i],
+            depth=int(depths[i]),
+            alt_thunk=(lambda p=center_abs: alt_info_string(
+                indels, feat, p, ref_seq, ref_seq_start)),
         ))
-        emitted_centers.add(center_abs)
     return records
 
 
