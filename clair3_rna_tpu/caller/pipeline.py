@@ -171,30 +171,53 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     stats = CallStats()
     rows_by_contig: dict = {}
     gvcf_rows_by_contig: dict = {} if call_cfg.gvcf else None
-    for task in tasks:
+
+    # build prefetch: the host builds chunk i+1 (C++ + numpy, GIL-releasing)
+    # while the device runs inference on chunk i -- the in-process analogue of
+    # the reference's tensor-builder/caller process pipe overlap
+    # (clair3_rna/call_var_bam.py:288-295)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_one(task):
         t0 = time.time()
-        records, feat, ref_seq, ref_lo = build_chunk_tensors(
+        out = build_chunk_tensors(
             bam, fasta, task, cfg,
             known_positions=known_vcf_positions.get(task.ctg_name)
             if known_vcf_positions else None,
             bed_regions=bed_regions, return_features=True)
-        stats.build_s += time.time() - t0
-        if call_cfg.gvcf:
-            from clair3_rna_tpu.gvcf import NonVariantAccumulator
-            from clair3_rna_tpu.pileup.chunk import gvcf_site_arrays
-            acc = NonVariantAccumulator()
-            sites = gvcf_site_arrays(feat, task, ref_seq, ref_lo)
-            if sites is None:
-                acc.push_empty_region(task.ctg_name, task.start + 1, task.end)
-            else:
-                positions, refs, n_total, n_ref = sites
-                acc.push_array(task.ctg_name, positions, refs, n_total, n_ref)
-            gvcf_rows_by_contig.setdefault(task.ctg_name, []).extend(acc.finish())
-        rows = call_tensor_records(records, forward, params, cfg, call_cfg, stats)
-        rows_by_contig.setdefault(task.ctg_name, []).extend(rows)
-        if progress:
-            logger.info("chunk %s:%d-%d: %d candidates -> %d rows",
-                        task.ctg_name, task.start, task.end, len(records), len(rows))
+        return out, time.time() - t0
+
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+    try:
+        futures = [prefetcher.submit(build_one, task) for task in tasks[:1]]
+        for i, task in enumerate(tasks):
+            if i + 1 < len(tasks):
+                futures.append(prefetcher.submit(build_one, tasks[i + 1]))
+            (records, feat, ref_seq, ref_lo), dt = futures[i].result()
+            stats.build_s += dt
+            if call_cfg.gvcf:
+                from clair3_rna_tpu.gvcf import NonVariantAccumulator
+                from clair3_rna_tpu.pileup.chunk import gvcf_site_arrays
+                acc = NonVariantAccumulator()
+                sites = gvcf_site_arrays(feat, task, ref_seq, ref_lo)
+                if sites is None:
+                    acc.push_empty_region(task.ctg_name, task.start + 1,
+                                          task.end)
+                else:
+                    positions, refs, n_total, n_ref = sites
+                    acc.push_array(task.ctg_name, positions, refs, n_total,
+                                   n_ref)
+                gvcf_rows_by_contig.setdefault(task.ctg_name, []).extend(
+                    acc.finish())
+            rows = call_tensor_records(records, forward, params, cfg,
+                                       call_cfg, stats)
+            rows_by_contig.setdefault(task.ctg_name, []).extend(rows)
+            if progress:
+                logger.info("chunk %s:%d-%d: %d candidates -> %d rows",
+                            task.ctg_name, task.start, task.end,
+                            len(records), len(rows))
+    finally:
+        prefetcher.shutdown(wait=False, cancel_futures=True)
 
     rediportal = load_rediportal(rediportal_path, contigs=list(rows_by_contig))
     outputs, n_rows, n_tagged = sort_rows(

@@ -1,0 +1,132 @@
+"""Reference-format tensor TSV interop.
+
+The reference splits its hot path at a process boundary: `create_tensor_pileup`
+streams TSV tensor rows (src/create_tensor_pileup.py:595-605) into
+`call_variants` reading them from stdin (clair3_rna/utils.py:64-138). The
+TPU-native pipeline is in-process, but both halves are exposed as standalone
+subcommands with the reference's exact wire format so existing pipelines can
+mix components (our builder -> their caller, or their builder -> our caller)
+and so tensors can be differential-debugged row by row.
+"""
+
+import sys
+
+import numpy as np
+
+from clair3_rna_tpu import config
+from clair3_rna_tpu.config import PileupConfig
+
+
+def write_tensor_rows(bam_path, ref_path, out_stream, *, cfg: PileupConfig,
+                      ctg_name=None, chunk_id=None, chunk_num=None,
+                      region=None, bed_regions=None, known_positions=None):
+    """Emit reference-format TSV rows for one contig/chunk.
+
+    chunk_id is 1-based like the reference's --chunk_id
+    (src/create_tensor_pileup.py:356-360).
+    """
+    from clair3_rna_tpu.io.fasta import FastaFile
+    from clair3_rna_tpu.pileup.chunk import (ChunkTask, build_chunk_tensors,
+                                             open_bam)
+
+    fasta = FastaFile(ref_path)
+    bam = open_bam(bam_path)
+    if region is not None:
+        ctg, lo_hi = region
+        tasks = [ChunkTask(ctg, lo_hi[0], lo_hi[1])]
+    else:
+        contigs = [ctg_name] if ctg_name else \
+            [c for c in fasta.contigs if c in bam.ref_index]
+        tasks = []
+        for ctg in contigs:
+            length = fasta.contig_length(ctg)
+            if chunk_id is not None:
+                n = chunk_num or max(1, -(-length // config.CHUNK_SIZE))
+                per = length // n + (1 if length % n else 0)
+                lo = per * (chunk_id - 1)
+                tasks.append(ChunkTask(ctg, lo, min(lo + per, length)))
+            else:
+                tasks.append(ChunkTask(ctg, 0, length))
+
+    n_rows = 0
+    for task in tasks:
+        records = build_chunk_tensors(
+            bam, fasta, task, cfg,
+            known_positions=known_positions.get(task.ctg_name)
+            if known_positions else None,
+            bed_regions=bed_regions)
+        for rec in records:
+            out_stream.write(rec.to_reference_row() + "\n")
+            n_rows += 1
+    return n_rows
+
+
+def read_tensor_rows(in_stream, batch_size):
+    """Parse reference tensor TSV into batches.
+
+    Yields (chroms, positions, refseqs, tensors[N,33,C], alt_infos); the
+    channel count (18 vs 30 phased) is auto-detected from the row length like
+    the reference (clair3_rna/utils.py:115-119).
+    """
+    chroms, positions, refseqs, alt_infos, flat = [], [], [], [], []
+    n_channels = None
+    for line in in_stream:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        chrom, coord, seq, tensor_str, alt_info = line.split("\t")[:5]
+        values = np.array(tensor_str.split(), dtype=np.int32)
+        if n_channels is None:
+            n_channels = values.size // config.NO_OF_POSITIONS
+        chroms.append(chrom)
+        positions.append(int(coord))
+        refseqs.append(seq)
+        alt_infos.append(alt_info)
+        flat.append(values.reshape(config.NO_OF_POSITIONS, n_channels))
+        if len(flat) == batch_size:
+            yield chroms, positions, refseqs, np.stack(flat), alt_infos
+            chroms, positions, refseqs, alt_infos, flat = [], [], [], [], []
+    if flat:
+        yield chroms, positions, refseqs, np.stack(flat), alt_infos
+
+
+def call_variants_from_tsv(in_stream, out_stream, *, cfg: PileupConfig,
+                           call_cfg, params, forward):
+    """Reference `call_variants` equivalent: tensor TSV in, VCF rows out."""
+    from clair3_rna_tpu.caller.decode import decode_batch
+    from clair3_rna_tpu.caller.pipeline import prescreen_mask
+
+    max_depth = config.MAX_DEPTH_BY_PLATFORM.get(cfg.platform, config.MAX_DEPTH)
+    n_rows = 0
+    for chroms, positions, refseqs, X, alt_infos in read_tensor_rows(
+            in_stream, cfg.batch_size):
+        depths = np.array(
+            [int(a.split("-", 1)[0]) if "-" in a else 0 for a in alt_infos],
+            dtype=np.int64)
+        renorm = np.nonzero(depths > max_depth * 1.5)[0]
+        if len(renorm):
+            X = X.copy()
+            X[renorm] = X[renorm] / (depths[renorm, None, None] / max_depth)
+        n = len(X)
+        if n < cfg.batch_size:
+            pad = np.zeros((cfg.batch_size - n,) + X.shape[1:], X.dtype)
+            probs = np.asarray(forward(params, np.concatenate([X, pad])))[:n]
+        else:
+            probs = np.asarray(forward(params, X))
+        mask = prescreen_mask(probs, refseqs, call_cfg.show_ref)
+        idx = np.nonzero(mask)[0]
+        rows = decode_batch([chroms[i] for i in idx],
+                            [positions[i] for i in idx],
+                            [refseqs[i] for i in idx],
+                            [alt_infos[i] for i in idx],
+                            probs[idx], call_cfg)
+        for row in rows:
+            out_stream.write(row + "\n")
+        n_rows += len(rows)
+    return n_rows
+
+
+def open_maybe_stdout(path):
+    if path in (None, "PIPE", "-"):
+        return sys.stdout, False
+    return open(path, "w"), True

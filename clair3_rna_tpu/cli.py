@@ -117,6 +117,139 @@ def run_call(args):
     return run_full_calling(args, cfg, call_cfg)
 
 
+def _add_interop_parsers(subparsers):
+    t = subparsers.add_parser(
+        "create_tensor_pileup",
+        help="emit reference-format tensor TSV rows for one contig/chunk "
+             "(src/create_tensor_pileup.py process equivalent)")
+    t.add_argument("--bam_fn", required=True)
+    t.add_argument("--ref_fn", required=True)
+    t.add_argument("--tensor_can_fn", default="PIPE",
+                   help="output path, or PIPE for stdout")
+    t.add_argument("--ctgName", "--ctg_name", dest="ctg_name", default=None)
+    t.add_argument("--chunk_id", type=int, default=None, help="1-based")
+    t.add_argument("--chunk_num", type=int, default=None)
+    t.add_argument("--region", default=None, help="ctg:start-end")
+    t.add_argument("--bed_fn", default=None)
+    t.add_argument("--vcf_fn", default=None, help="known-site genotyping list")
+    t.add_argument("--platform", default="ont_dorado_drna004")
+    t.add_argument("--snp_min_af", type=float, default=config.SNP_MIN_AF)
+    t.add_argument("--indel_min_af", type=float, default=config.INDEL_MIN_AF)
+    t.add_argument("--min_coverage", type=int, default=config.MIN_COVERAGE)
+    t.add_argument("--minMQ", "--min_mq", dest="min_mq", type=int,
+                   default=config.MIN_MQ)
+    t.add_argument("--minBQ", "--min_bq", dest="min_bq", type=int,
+                   default=config.MIN_BQ)
+    t.add_argument("--fast_mode", action="store_true")
+    t.add_argument("--call_snp_only", action="store_true")
+    t.add_argument("--phased", action="store_true",
+                   help="30-channel haplotagged tensors (phasing model pass)")
+    t.add_argument("--enable_variant_calling_at_sequence_head_and_tail",
+                   action="store_true")
+    t.add_argument("--enable_padding_in_splice_junction_regions",
+                   action="store_true")
+
+    v = subparsers.add_parser(
+        "call_variants",
+        help="tensor TSV in (stdin or file), VCF rows out "
+             "(clair3_rna/call_variants.py process equivalent)")
+    v.add_argument("--tensor_fn", default="PIPE",
+                   help="input tensor TSV path, or PIPE for stdin")
+    v.add_argument("--call_fn", default="PIPE",
+                   help="output VCF rows path, or PIPE for stdout")
+    v.add_argument("--chkpnt_fn", "--model_path", dest="model_path",
+                   default=None, help=".npz weights or TF checkpoint prefix")
+    v.add_argument("--platform", default="ont_dorado_drna004")
+    v.add_argument("--batch_size", type=int, default=2048)
+    v.add_argument("--show_ref", "--showRef", dest="show_ref",
+                   action="store_true")
+    v.add_argument("--qual", type=float, default=None)
+    v.add_argument("--enable_long_indel", action="store_true")
+    v.add_argument("--keep_iupac_bases", action="store_true")
+    v.add_argument("--haploid_precise", action="store_true")
+    v.add_argument("--haploid_sensitive", action="store_true")
+    v.add_argument("--phased", action="store_true",
+                   help="expect 30-channel phased tensors")
+
+
+def _run_create_tensor(args):
+    import sys
+    from clair3_rna_tpu.caller.tsv_interop import (open_maybe_stdout,
+                                                   write_tensor_rows)
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.io.bed import BedRegions
+    from clair3_rna_tpu.io.vcf import VcfReader
+
+    full_platform = config.PLATFORM_ALIASES.get(args.platform, args.platform)
+    cfg = PileupConfig.for_platform(
+        full_platform,
+        min_mq=args.min_mq, min_bq=args.min_bq,
+        min_coverage=args.min_coverage,
+        snp_min_af=args.snp_min_af, indel_min_af=args.indel_min_af,
+        fast_mode=args.fast_mode, call_snp_only=args.call_snp_only,
+        phased=args.phased,
+        enable_head_tail=args.enable_variant_calling_at_sequence_head_and_tail,
+        enable_splice_padding=args.enable_padding_in_splice_junction_regions)
+    region = None
+    bed_regions = None
+    if args.region:
+        ctg, bed = _parse_region(args.region)
+        lo = bed.starts[ctg][0]
+        hi = bed.ends[ctg][0]
+        region = (ctg, (int(lo), int(hi)))
+    elif args.bed_fn:
+        bed_regions = BedRegions.from_file(args.bed_fn)
+    known_positions = None
+    if args.vcf_fn:
+        reader = VcfReader(args.vcf_fn)
+        known_positions = {}
+        for (ctg, pos) in reader.variant_dict:
+            known_positions.setdefault(ctg, []).append(pos - 1)
+    out, owns = open_maybe_stdout(args.tensor_can_fn)
+    try:
+        n = write_tensor_rows(args.bam_fn, args.ref_fn, out, cfg=cfg,
+                              ctg_name=args.ctg_name, chunk_id=args.chunk_id,
+                              chunk_num=args.chunk_num, region=region,
+                              bed_regions=bed_regions,
+                              known_positions=known_positions)
+    finally:
+        if owns:
+            out.close()
+    print(f"[INFO] wrote {n} tensor rows", file=sys.stderr)
+
+
+def _run_call_variants(args):
+    import sys
+    from clair3_rna_tpu.caller.decode import CallConfig
+    from clair3_rna_tpu.caller.driver import load_model
+    from clair3_rna_tpu.caller.tsv_interop import (call_variants_from_tsv,
+                                                   open_maybe_stdout)
+    from clair3_rna_tpu.config import PileupConfig
+
+    full_platform = config.PLATFORM_ALIASES.get(args.platform, args.platform)
+    cfg = PileupConfig.for_platform(full_platform, phased=args.phased,
+                                    batch_size=args.batch_size)
+    call_cfg = CallConfig(
+        show_ref=args.show_ref, qual=args.qual,
+        enable_long_indel=args.enable_long_indel,
+        keep_iupac_bases=args.keep_iupac_bases,
+        haploid_precise=args.haploid_precise,
+        haploid_sensitive=args.haploid_sensitive)
+    params, forward = load_model(args.model_path, phased=args.phased)
+    in_stream = sys.stdin if args.tensor_fn in ("PIPE", "-") \
+        else open(args.tensor_fn)
+    out, owns = open_maybe_stdout(args.call_fn)
+    try:
+        n = call_variants_from_tsv(in_stream, out, cfg=cfg, call_cfg=call_cfg,
+                                   params=params, forward=forward)
+    finally:
+        if owns:
+            out.close()
+        if in_stream is not sys.stdin:
+            in_stream.close()
+    print(f"[INFO] wrote {n} VCF rows", file=sys.stderr)
+
+
 def _add_sort_parser(subparsers):
     p = subparsers.add_parser("sort_vcf", help="merge/sort per-chunk VCFs")
     p.add_argument("--input_dir", required=True)
@@ -168,6 +301,7 @@ def main(argv=None):
     subparsers = parser.add_subparsers(dest="command")
     _add_call_parser(subparsers)
     _add_sort_parser(subparsers)
+    _add_interop_parsers(subparsers)
     from clair3_rna_tpu.evaluation.cli_tools import add_tool_parsers
     from clair3_rna_tpu.train.cli_tools import add_train_parsers
     add_tool_parsers(subparsers)
@@ -178,6 +312,10 @@ def main(argv=None):
         return run_call(args)
     if args.command == "sort_vcf":
         return run_sort(args)
+    if args.command == "create_tensor_pileup":
+        return _run_create_tensor(args)
+    if args.command == "call_variants":
+        return _run_call_variants(args)
     from clair3_rna_tpu.evaluation.cli_tools import dispatch_tool
     from clair3_rna_tpu.train.cli_tools import dispatch_train
     if dispatch_tool(args):

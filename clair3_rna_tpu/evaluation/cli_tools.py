@@ -32,6 +32,83 @@ def add_tool_parsers(subparsers):
     b.add_argument("--high_conf_bed_fn", default=None,
                    help="intersect with this BED (e.g. GIAB high-confidence)")
 
+    a = subparsers.add_parser(
+        "cal_truth_vcf_af_distribution",
+        help="per-truth-site coverage/alt support for stratified benchmarking "
+             "(src/cal_truth_vcf_af_distribution.py equivalent)")
+    a.add_argument("--bam_fn", required=True)
+    a.add_argument("--ref_fn", required=True)
+    a.add_argument("--truth_vcf_fn", required=True)
+    a.add_argument("--output_fn", required=True, help="'truths' support file")
+    a.add_argument("--ctg_name", default=None)
+    a.add_argument("--with_hp", action="store_true",
+                   help="also break counts down by HP haplotag")
+
+    f = subparsers.add_parser(
+        "get_truth_from_af",
+        help="drop truth variants without RNA read support or with "
+             "zygosity/AF mismatch (src/get_truth_from_af.py equivalent)")
+    f.add_argument("--truth_vcf_fn", required=True)
+    f.add_argument("--truths_fn", required=True,
+                   help="support file from cal_truth_vcf_af_distribution")
+    f.add_argument("--output_fn", required=True)
+    f.add_argument("--min_coverage", type=int, default=4)
+    f.add_argument("--min_alt_coverage", type=int, default=2)
+    f.add_argument("--hom_min_af", type=float, default=0.2)
+    f.add_argument("--het_max_af", type=float, default=0.8)
+
+    s = subparsers.add_parser(
+        "call_silver_editing_site",
+        help="A-to-G / T-to-C silver RNA-editing candidate sites "
+             "(src/call_silver_editing_site.py equivalent)")
+    s.add_argument("--bam_fn", required=True, help="RNA BAM")
+    s.add_argument("--ref_fn", required=True)
+    s.add_argument("--dna_bam_fn", default=None,
+                   help="matched DNA BAM for the DNA-AF exclusion test")
+    s.add_argument("--output_fn", required=True)
+    s.add_argument("--ctg_name", default=None)
+    s.add_argument("--rna_min_af", type=float, default=0.75)
+    s.add_argument("--dsrna_min_af", type=float, default=0.4)
+    s.add_argument("--dsrna_bed_fn", default=None)
+    s.add_argument("--dna_max_af", type=float, default=0.25)
+    s.add_argument("--dna_min_depth", type=int, default=8)
+    s.add_argument("--min_coverage", type=int, default=4)
+
+    m = subparsers.add_parser(
+        "calculate_overall_metrics",
+        help="coverage/AF-stratified P/R/F1 vs truth "
+             "(src/calculate_overall_metrics.py equivalent)")
+    m.add_argument("--vcf_fn", required=True, help="called VCF")
+    m.add_argument("--truth_vcf_fn", required=True)
+    m.add_argument("--truths_fn", default=None,
+                   help="support file from cal_truth_vcf_af_distribution")
+    m.add_argument("--bed_fn", default=None)
+    m.add_argument("--ctg_name", default=None)
+    m.add_argument("--min_coverage", type=int, default=None)
+    m.add_argument("--min_alt_coverage", type=int, default=None)
+    m.add_argument("--min_af", type=float, default=None)
+    m.add_argument("--skip_genotyping", action="store_true")
+
+    g = subparsers.add_parser(
+        "add_back_missing_variants_in_genotyping",
+        help="re-insert uncalled genotyping sites as ./. rows "
+             "(src/add_back_missing_variants_in_genotyping.py equivalent)")
+    g.add_argument("--vcf_fn", required=True, help="called VCF")
+    g.add_argument("--sites_vcf_fn", required=True,
+                   help="the -G/--vcf_fn genotyping site list")
+    g.add_argument("--bam_fn", required=True)
+    g.add_argument("--ref_fn", required=True)
+    g.add_argument("--output_fn", required=True)
+
+    c = subparsers.add_parser(
+        "concat_files", help="concatenate per-chunk outputs by prefix/suffix "
+                             "(src/concat_files.py equivalent)")
+    c.add_argument("--input_dir", required=True)
+    c.add_argument("--output_fn", required=True)
+    c.add_argument("--prefix", default=None)
+    c.add_argument("--suffix", default=None)
+    c.add_argument("--keep_all_headers", action="store_true")
+
 
 def dispatch_tool(args) -> bool:
     if args.command == "compare_vcf":
@@ -60,5 +137,73 @@ def dispatch_tool(args) -> bool:
         build_rna_bed(args.bam_fn, args.output_fn,
                       min_coverage=args.min_coverage,
                       high_conf_bed_fn=args.high_conf_bed_fn)
+        return True
+    if args.command == "cal_truth_vcf_af_distribution":
+        from clair3_rna_tpu.evaluation.af_distribution import (
+            truth_site_support, write_truths_file)
+        contigs = args.ctg_name.split(",") if args.ctg_name else None
+        records = truth_site_support(args.bam_fn, args.ref_fn,
+                                     args.truth_vcf_fn, contigs=contigs,
+                                     with_hp=args.with_hp)
+        write_truths_file(records, args.output_fn)
+        print(f"[INFO] wrote truth support -> {args.output_fn}")
+        return True
+    if args.command == "get_truth_from_af":
+        from clair3_rna_tpu.evaluation.af_distribution import load_truths_file
+        from clair3_rna_tpu.evaluation.truth_filter import (
+            find_low_confident_variants, write_filtered_truth)
+        support = load_truths_file(args.truths_fn)
+        kept, dropped = find_low_confident_variants(
+            args.truth_vcf_fn, support,
+            min_coverage=args.min_coverage,
+            min_alt_coverage=args.min_alt_coverage,
+            hom_min_af=args.hom_min_af, het_max_af=args.het_max_af)
+        write_filtered_truth(args.truth_vcf_fn, kept, args.output_fn)
+        print(f"[INFO] kept {len(kept)} truth sites, dropped {len(dropped)} "
+              f"-> {args.output_fn}")
+        return True
+    if args.command == "call_silver_editing_site":
+        from clair3_rna_tpu.evaluation.silver_editing import (
+            find_editing_sites, write_sites)
+        from clair3_rna_tpu.io.bed import BedRegions
+        contigs = args.ctg_name.split(",") if args.ctg_name else None
+        dsrna = BedRegions.from_file(args.dsrna_bed_fn) \
+            if args.dsrna_bed_fn else None
+        sites = find_editing_sites(
+            args.bam_fn, args.ref_fn, dna_bam_path=args.dna_bam_fn,
+            contigs=contigs, rna_min_af=args.rna_min_af,
+            dsrna_min_af=args.dsrna_min_af, dsrna_regions=dsrna,
+            dna_max_af=args.dna_max_af, dna_min_depth=args.dna_min_depth,
+            min_coverage=args.min_coverage)
+        write_sites(sites, args.output_fn)
+        print(f"[INFO] {len(sites)} silver editing sites -> {args.output_fn}")
+        return True
+    if args.command == "calculate_overall_metrics":
+        from clair3_rna_tpu.evaluation.af_distribution import load_truths_file
+        from clair3_rna_tpu.evaluation.overall_metrics import (
+            print_table, stratified_metrics)
+        support = load_truths_file(args.truths_fn) if args.truths_fn else None
+        results = stratified_metrics(
+            args.vcf_fn, args.truth_vcf_fn, truths_support=support,
+            bed_fn=args.bed_fn, ctg_name=args.ctg_name,
+            min_coverage=args.min_coverage,
+            min_alt_coverage=args.min_alt_coverage, min_af=args.min_af,
+            skip_genotyping=args.skip_genotyping)
+        print_table(results)
+        return True
+    if args.command == "add_back_missing_variants_in_genotyping":
+        from clair3_rna_tpu.postprocess.genotyping import (
+            add_back_missing_variants)
+        _, n_added = add_back_missing_variants(
+            args.vcf_fn, args.sites_vcf_fn, args.bam_fn, args.ref_fn,
+            args.output_fn)
+        print(f"[INFO] added back {n_added} missing sites -> {args.output_fn}")
+        return True
+    if args.command == "concat_files":
+        from clair3_rna_tpu.postprocess.concat import concat_files
+        concat_files(args.input_dir, args.output_fn, prefix=args.prefix,
+                     suffix=args.suffix,
+                     skip_header_after_first=not args.keep_all_headers)
+        print(f"[INFO] concatenated -> {args.output_fn}")
         return True
     return False
