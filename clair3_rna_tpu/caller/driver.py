@@ -39,7 +39,13 @@ def resolve_contigs(bam: BamReader, fasta: FastaFile, ctg_name=None,
     return contigs
 
 
-def load_model(model_path, add_indel_length=False, phased=False):
+def load_model(model_path, add_indel_length=False, phased=False, mesh=None):
+    """Load (or random-init) weights and build the batched forward fn.
+
+    With a mesh, weights are laid out per parallel.mesh.param_spec and the
+    forward shards its batch over the 'dp' axis -- the in-process analogue of
+    the reference's GNU-parallel chunk fan-out (run_clair3_rna:681-707), with
+    XLA collectives over ICI instead of process boundaries."""
     from clair3_rna_tpu.models.network import init_params, make_forward_fn
     if model_path:
         from clair3_rna_tpu.models.params_io import resolve_params
@@ -48,8 +54,21 @@ def load_model(model_path, add_indel_length=False, phased=False):
         logger.warning("[WARNING] no --model_path given: using RANDOM weights "
                        "(testing only, calls will be meaningless)")
         params = init_params(0, add_indel_length=add_indel_length, phased=phased)
-    _, forward = make_forward_fn(add_indel_length=add_indel_length)
+    model, forward = make_forward_fn(add_indel_length=add_indel_length)
+    if mesh is not None:
+        from clair3_rna_tpu.parallel.mesh import shard_params, sharded_forward_fn
+        params = shard_params(params, mesh)
+        forward = sharded_forward_fn(model, mesh)
     return params, forward
+
+
+def default_mesh(tp=1):
+    """A ('dp','tp') mesh over every visible device; None single-device."""
+    import jax
+    if jax.device_count() <= 1:
+        return None
+    from clair3_rna_tpu.parallel.mesh import make_mesh
+    return make_mesh(tp=tp)
 
 
 def run_full_calling(args, cfg, call_cfg: CallConfig):
@@ -82,7 +101,15 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
         for (ctg, pos) in reader.variant_dict:
             known_positions.setdefault(ctg, []).append(pos - 1)
 
-    params, forward = load_model(args.model_path, phased=cfg.phased)
+    mesh = None
+    if not getattr(args, "no_device_mesh", False):
+        mesh = default_mesh(tp=getattr(args, "tp", 1))
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        if cfg.batch_size % dp:
+            cfg = cfg.with_(batch_size=((cfg.batch_size // dp) + 1) * dp)
+        logger.info("[INFO] device mesh: dp=%d tp=%d", dp, mesh.shape["tp"])
+    params, forward = load_model(args.model_path, phased=cfg.phased, mesh=mesh)
 
     rediportal_path = args.readiportal_source_fn \
         if args.tag_variant_using_readiportal else None
@@ -99,6 +126,8 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
         compress=not args.no_compress,
         known_vcf_positions=known_positions,
         bed_regions=bed_regions,
+        manifest_dir=os.path.join(args.output_dir, "tmp"),
+        resume=getattr(args, "resume", False),
     )
     logger.info("[INFO] pileup calling finished: %s", ", ".join(outputs))
 
@@ -117,7 +146,15 @@ def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
     phase_and_haplotag(args.bam_fn, args.ref_fn, first_pass_vcf, tagged_bam,
                        contigs=contigs)
     phased_cfg = cfg.with_(phased=True)
-    params, forward = load_model(args.phased_model_path, phased=True)
+    mesh = None
+    if not getattr(args, "no_device_mesh", False):
+        mesh = default_mesh(tp=getattr(args, "tp", 1))
+    if mesh is not None and phased_cfg.batch_size % mesh.shape["dp"]:
+        dp = mesh.shape["dp"]
+        phased_cfg = phased_cfg.with_(
+            batch_size=((phased_cfg.batch_size // dp) + 1) * dp)
+    params, forward = load_model(args.phased_model_path, phased=True,
+                                 mesh=mesh)
     output_path = os.path.join(args.output_dir, "output_enable_phasing.vcf")
     rediportal_path = args.readiportal_source_fn \
         if args.tag_variant_using_readiportal else None

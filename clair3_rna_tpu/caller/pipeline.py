@@ -9,6 +9,7 @@ chunks across devices/hosts (clair3_rna_tpu.parallel) instead of OS processes.
 """
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -71,19 +72,21 @@ class CallStats:
     decode_s: float = 0.0
 
 
-def call_tensor_records(records, forward, params, cfg: PileupConfig,
-                        call_cfg: CallConfig, stats: CallStats | None = None):
-    """Run inference + decode over TensorRecords; returns VCF row strings."""
+def dispatch_tensor_records(records, forward, params, cfg: PileupConfig,
+                            call_cfg: CallConfig,
+                            stats: CallStats | None = None):
+    """Enqueue inference for a chunk's TensorRecords without blocking.
+
+    Returns an opaque pending handle for collect_rows. Every batch is
+    dispatched before any is materialized, so JAX's async dispatch overlaps
+    host batch prep / transfers with device compute -- and the caller can run
+    another chunk's decode while the device works."""
     if not records:
-        return []
-    stats = stats if stats is not None else CallStats()
+        return None
     X = batch_tensors(records, cfg)
     n = len(X)
     batch = cfg.batch_size
-    probs = np.empty((n, 24 + (66 if call_cfg.add_indel_length else 0)), np.float32)
     t0 = time.time()
-    # enqueue every batch before materializing any: JAX's async dispatch
-    # overlaps host batch prep / transfers with device compute
     pending = []
     for lo in range(0, n, batch):
         hi = min(lo + batch, n)
@@ -93,6 +96,21 @@ def call_tensor_records(records, forward, params, cfg: PileupConfig,
             pad = np.zeros((batch - (hi - lo),) + X.shape[1:], X.dtype)
             chunk = np.concatenate([chunk, pad])
         pending.append((lo, hi, forward(params, chunk)))
+    if stats is not None:
+        stats.infer_s += time.time() - t0
+    return records, pending, n
+
+
+def collect_rows(handle, call_cfg: CallConfig,
+                 stats: CallStats | None = None):
+    """Materialize a dispatched chunk's probabilities and decode VCF rows."""
+    if handle is None:
+        return []
+    records, pending, n = handle
+    stats = stats if stats is not None else CallStats()
+    t0 = time.time()
+    probs = np.empty((n, 24 + (66 if call_cfg.add_indel_length else 0)),
+                     np.float32)
     for lo, hi, out in pending:
         probs[lo:hi] = np.asarray(out)[:hi - lo]
     stats.infer_s += time.time() - t0
@@ -112,6 +130,14 @@ def call_tensor_records(records, forward, params, cfg: PileupConfig,
     stats.decoded += len(idx)
     stats.rows += len(rows)
     return rows
+
+
+def call_tensor_records(records, forward, params, cfg: PileupConfig,
+                        call_cfg: CallConfig, stats: CallStats | None = None):
+    """Run inference + decode over TensorRecords; returns VCF row strings."""
+    handle = dispatch_tensor_records(records, forward, params, cfg, call_cfg,
+                                     stats)
+    return collect_rows(handle, call_cfg, stats)
 
 
 def _write_gvcf(output_path, sorted_vcf_path, gvcf_rows_by_contig, fasta,
@@ -150,11 +176,19 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 params=None, forward=None, contigs=None, chunk_size=None,
                 rediportal_path=None, output_no_tagging_path=None,
                 sample_name=None, cmd_line=None, compress=True,
-                known_vcf_positions=None, bed_regions=None, progress=True):
+                known_vcf_positions=None, bed_regions=None, progress=True,
+                manifest_dir=None, resume=False):
     """Full pileup calling: plan chunks, build tensors, infer, decode, merge.
 
     params/forward default to a fresh random-init network (useful only for
     testing; pass converted trained weights for real calling).
+
+    manifest_dir enables contig-level checkpointing: each finished contig's
+    decoded rows persist as an idempotent manifest file, and with
+    resume=True a re-run skips those contigs entirely. This is the shard
+    manifest / deterministic-retry analogue of the reference's
+    filesystem-state resume (tmp/CHUNK_LIST + --skip_steps,
+    run_clair3_rna:437-449,855-867), at finer granularity.
     """
     cfg = cfg or PileupConfig()
     call_cfg = call_cfg or CallConfig()
@@ -188,6 +222,77 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         return out, time.time() - t0
 
     prefetcher = ThreadPoolExecutor(max_workers=1)
+    # cross-chunk batch accumulation: candidates stream into full
+    # batch_size-sized device batches regardless of chunk boundaries (the
+    # reference also streams a fixed batch across its whole tensor pipe,
+    # clair3_rna/utils.py:51-61), so no batch is padded except the final
+    # flush and per-call dispatch latency amortizes. Up to two device
+    # batches stay in flight while the host builds and decodes.
+    from collections import deque
+    queue_records: deque = deque()
+    in_flight: deque = deque()
+
+    def drain_one():
+        rows = collect_rows(in_flight.popleft(), call_cfg, stats)
+        for row in rows:
+            rows_by_contig.setdefault(row.split("\t", 1)[0], []).append(row)
+
+    def pump(force=False):
+        while len(queue_records) >= cfg.batch_size:
+            group = [queue_records.popleft() for _ in range(cfg.batch_size)]
+            in_flight.append(dispatch_tensor_records(
+                group, forward, params, cfg, call_cfg, stats))
+            while len(in_flight) > 2:
+                drain_one()
+        if force:
+            if queue_records:
+                group = list(queue_records)
+                queue_records.clear()
+                in_flight.append(dispatch_tensor_records(
+                    group, forward, params, cfg, call_cfg, stats))
+            while in_flight:
+                drain_one()
+
+    import json
+
+    def manifest_path(ctg):
+        return os.path.join(manifest_dir, f"{ctg}.done.json")
+
+    def load_manifest(ctg):
+        try:
+            with open(manifest_path(ctg)) as f:
+                return json.load(f)
+        except Exception:
+            return None
+
+    def save_manifest(ctg):
+        payload = {"rows": rows_by_contig.get(ctg, [])}
+        if gvcf_rows_by_contig is not None:
+            payload["gvcf"] = gvcf_rows_by_contig.get(ctg, [])
+        tmp = manifest_path(ctg) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, manifest_path(ctg))  # idempotent atomic publish
+
+    if manifest_dir:
+        os.makedirs(manifest_dir, exist_ok=True)
+        if resume:
+            skip_ctgs = set()
+            for ctg in {t.ctg_name for t in tasks}:
+                payload = load_manifest(ctg)
+                if payload is not None and (
+                        gvcf_rows_by_contig is None or "gvcf" in payload):
+                    rows_by_contig[ctg] = payload["rows"]
+                    if gvcf_rows_by_contig is not None:
+                        gvcf_rows_by_contig[ctg] = payload["gvcf"]
+                    stats.rows += len(payload["rows"])
+                    skip_ctgs.add(ctg)
+                    if progress:
+                        logger.info("[INFO] resume: contig %s restored from "
+                                    "manifest (%d rows)", ctg,
+                                    len(payload["rows"]))
+            tasks = [t for t in tasks if t.ctg_name not in skip_ctgs]
+
     try:
         futures = [prefetcher.submit(build_one, task) for task in tasks[:1]]
         for i, task in enumerate(tasks):
@@ -209,13 +314,16 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                                    n_ref)
                 gvcf_rows_by_contig.setdefault(task.ctg_name, []).extend(
                     acc.finish())
-            rows = call_tensor_records(records, forward, params, cfg,
-                                       call_cfg, stats)
-            rows_by_contig.setdefault(task.ctg_name, []).extend(rows)
+            queue_records.extend(records)
+            contig_done = (i + 1 == len(tasks)
+                           or tasks[i + 1].ctg_name != task.ctg_name)
+            pump(force=manifest_dir is not None and contig_done)
+            if manifest_dir and contig_done:
+                save_manifest(task.ctg_name)
             if progress:
-                logger.info("chunk %s:%d-%d: %d candidates -> %d rows",
-                            task.ctg_name, task.start, task.end,
-                            len(records), len(rows))
+                logger.info("chunk %s:%d-%d: %d candidates",
+                            task.ctg_name, task.start, task.end, len(records))
+        pump(force=True)
     finally:
         prefetcher.shutdown(wait=False, cancel_futures=True)
 

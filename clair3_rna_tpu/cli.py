@@ -67,6 +67,13 @@ def _add_call_parser(subparsers):
                    default=config.REDIPORTAL_FILTER_TAGS)
     p.add_argument("--include_all_ctgs", action="store_true")
     p.add_argument("--no_compress", action="store_true")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width of the device mesh")
+    p.add_argument("--no_device_mesh", action="store_true",
+                   help="single-device inference even with multiple devices")
+    p.add_argument("--resume", action="store_true",
+                   help="skip contigs already completed in a previous run "
+                        "(per-contig manifests under <output_dir>/tmp)")
     return p
 
 
