@@ -315,20 +315,24 @@ def main(argv=None):
     add_train_parsers(subparsers)
 
     args = parser.parse_args(argv)
-    if args.command == "call":
-        return run_call(args)
-    if args.command == "sort_vcf":
-        return run_sort(args)
-    if args.command == "create_tensor_pileup":
-        return _run_create_tensor(args)
-    if args.command == "call_variants":
-        return _run_call_variants(args)
-    from clair3_rna_tpu.evaluation.cli_tools import dispatch_tool
-    from clair3_rna_tpu.train.cli_tools import dispatch_train
-    if dispatch_tool(args):
-        return None
-    if dispatch_train(args):
-        return None
+    try:
+        if args.command == "call":
+            return run_call(args)
+        if args.command == "sort_vcf":
+            return run_sort(args)
+        if args.command == "create_tensor_pileup":
+            return _run_create_tensor(args)
+        if args.command == "call_variants":
+            return _run_call_variants(args)
+        from clair3_rna_tpu.evaluation.cli_tools import dispatch_tool
+        from clair3_rna_tpu.train.cli_tools import dispatch_train
+        if dispatch_tool(args):
+            return None
+        if dispatch_train(args):
+            return None
+    except FileNotFoundError as exc:
+        raise SystemExit(
+            f"[ERROR] {args.command}: file not found: {exc.filename}")
     parser.print_help()
     return None
 
