@@ -71,8 +71,8 @@ def default_mesh(tp=1):
     return make_mesh(tp=tp)
 
 
-def run_full_calling(args, cfg, call_cfg: CallConfig):
-    os.makedirs(args.output_dir, exist_ok=True)
+def _resolve_inputs(args):
+    """Shared contig/bed/known-site resolution for all calling modes."""
     fasta = FastaFile(args.ref_fn)
     bam = BamReader(args.bam_fn)
 
@@ -100,6 +100,38 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
         known_positions = {}
         for (ctg, pos) in reader.variant_dict:
             known_positions.setdefault(ctg, []).append(pos - 1)
+    return contigs, bed_regions, known_positions
+
+
+def run_shard_calling(args, cfg, call_cfg: CallConfig):
+    """One multi-host worker: write this shard's manifests, no merged VCF
+    (see parallel.distributed; merge with the merge_shards subcommand)."""
+    from clair3_rna_tpu.parallel.distributed import run_sharded_calling
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    contigs, bed_regions, known_positions = _resolve_inputs(args)
+    mesh = None
+    if not getattr(args, "no_device_mesh", False):
+        mesh = default_mesh(tp=getattr(args, "tp", 1))
+    params, forward = load_model(args.model_path, phased=cfg.phased, mesh=mesh)
+    stats = run_sharded_calling(
+        args.bam_fn, args.ref_fn, args.output_dir, cfg=cfg,
+        call_cfg=call_cfg, params=params, forward=forward, contigs=contigs,
+        n_shards=args.n_shards, shard_id=args.shard_id,
+        chunk_size=args.chunk_size, known_vcf_positions=known_positions,
+        bed_regions=bed_regions, resume=getattr(args, "resume", False))
+    logger.info("[INFO] shard %d/%d done: %d candidates, %d rows",
+                args.shard_id, args.n_shards, stats.candidates, stats.rows)
+    return []
+
+
+def run_full_calling(args, cfg, call_cfg: CallConfig):
+    if getattr(args, "n_shards", None):
+        if getattr(args, "shard_id", None) is None:
+            raise SystemExit("[ERROR] --n_shards requires --shard_id")
+        return run_shard_calling(args, cfg, call_cfg)
+    os.makedirs(args.output_dir, exist_ok=True)
+    contigs, bed_regions, known_positions = _resolve_inputs(args)
 
     mesh = None
     if not getattr(args, "no_device_mesh", False):

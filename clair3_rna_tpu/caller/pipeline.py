@@ -177,7 +177,7 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 rediportal_path=None, output_no_tagging_path=None,
                 sample_name=None, cmd_line=None, compress=True,
                 known_vcf_positions=None, bed_regions=None, progress=True,
-                manifest_dir=None, resume=False):
+                manifest_dir=None, resume=False, tasks=None):
     """Full pileup calling: plan chunks, build tensors, infer, decode, merge.
 
     params/forward default to a fresh random-init network (useful only for
@@ -200,8 +200,9 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     from clair3_rna_tpu.pileup.chunk import open_bam
     fasta = FastaFile(ref_path)
     bam = open_bam(bam_path)
-    tasks = plan_chunks(fasta, contigs=contigs,
-                        chunk_size=chunk_size or config.CHUNK_SIZE)
+    if tasks is None:
+        tasks = plan_chunks(fasta, contigs=contigs,
+                            chunk_size=chunk_size or config.CHUNK_SIZE)
     stats = CallStats()
     rows_by_contig: dict = {}
     gvcf_rows_by_contig: dict = {} if call_cfg.gvcf else None

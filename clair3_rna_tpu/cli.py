@@ -74,6 +74,11 @@ def _add_call_parser(subparsers):
     p.add_argument("--resume", action="store_true",
                    help="skip contigs already completed in a previous run "
                         "(per-contig manifests under <output_dir>/tmp)")
+    p.add_argument("--n_shards", type=int, default=None,
+                   help="multi-host mode: total number of contig-shard "
+                        "workers; this process only writes shard manifests")
+    p.add_argument("--shard_id", type=int, default=None,
+                   help="multi-host mode: this worker's shard index")
     return p
 
 
@@ -122,6 +127,21 @@ def run_call(args):
         haploid_sensitive=args.haploid_sensitive,
     )
     return run_full_calling(args, cfg, call_cfg)
+
+
+def _run_merge_shards(args):
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.parallel.distributed import merge_shards
+
+    full_platform = config.PLATFORM_ALIASES.get(args.platform, args.platform)
+    cfg = PileupConfig.for_platform(full_platform, qual_cutoff=args.qual)
+    outputs, n_rows, n_tagged = merge_shards(
+        args.work_dir, args.n_shards, args.output_fn,
+        show_ref=args.show_ref, qual_cutoff=cfg.effective_qual_cutoff,
+        reference_file_path=args.ref_fn, sample_name=args.sample_name,
+        compress=not args.no_compress)
+    print(f"[INFO] merged {args.n_shards} shards -> "
+          f"{', '.join(outputs)} ({n_rows} rows)")
 
 
 def _add_interop_parsers(subparsers):
@@ -271,6 +291,21 @@ def _add_sort_parser(subparsers):
     p.add_argument("--readiportal_source_fn", default=None)
     p.add_argument("--output_no_tagging_fn", default=None)
     p.add_argument("--no_compress", action="store_true")
+
+    m = subparsers.add_parser(
+        "merge_shards",
+        help="merge contig-shard manifests from `call --n_shards` workers "
+             "into one sorted VCF")
+    m.add_argument("--work_dir", required=True,
+                   help="the shard workers' shared --output_dir")
+    m.add_argument("--n_shards", type=int, required=True)
+    m.add_argument("--output_fn", required=True)
+    m.add_argument("--ref_fn", default=None)
+    m.add_argument("--sample_name", default="SAMPLE")
+    m.add_argument("--qual", type=float, default=None)
+    m.add_argument("--show_ref", action="store_true")
+    m.add_argument("--platform", default="ont_dorado_drna004")
+    m.add_argument("--no_compress", action="store_true")
     return p
 
 
@@ -320,6 +355,8 @@ def main(argv=None):
             return run_call(args)
         if args.command == "sort_vcf":
             return run_sort(args)
+        if args.command == "merge_shards":
+            return _run_merge_shards(args)
         if args.command == "create_tensor_pileup":
             return _run_create_tensor(args)
         if args.command == "call_variants":
@@ -332,7 +369,8 @@ def main(argv=None):
             return None
     except FileNotFoundError as exc:
         raise SystemExit(
-            f"[ERROR] {args.command}: file not found: {exc.filename}")
+            f"[ERROR] {args.command}: file not found: "
+            f"{exc.filename if exc.filename is not None else exc}")
     parser.print_help()
     return None
 
