@@ -60,7 +60,16 @@ def truth_site_support(bam_path, ref_path, truth_vcf_path, *, contigs=None,
                 for alt in rec.alt.split(","):
                     alt_supports.append(_allele_support(
                         rec.ref, alt, p, feat, indels, pos1 - 1))
-                out.append((ctg, pos1, cov, alt_supports))
+                if with_hp:
+                    # per-haplotype coverage breakdown [HP1, HP2, untagged]
+                    # (src/cal_truth_vcf_af_distribution.py:49-82)
+                    sel = events.base_pos == (pos1 - 1)
+                    hps = events.base_hp[sel]
+                    hp_counts = [int((hps == 1).sum()), int((hps == 2).sum()),
+                                 int((hps == 0).sum())]
+                    out.append((ctg, pos1, cov, alt_supports, hp_counts))
+                else:
+                    out.append((ctg, pos1, cov, alt_supports))
     return out
 
 
@@ -81,11 +90,50 @@ def _allele_support(ref, alt, p, feat, indels, abs_pos):
     return int(sel.sum())
 
 
-def write_truths_file(records, output_fn):
-    """'ctg pos cov alt_cov1[,alt_cov2]' rows (the reference 'truths' format)."""
+def paired_site_support(normal_bam_path, tumor_bam_path, ref_path,
+                        truth_vcf_path, *, contigs=None,
+                        cfg: PileupConfig | None = None):
+    """Tumor/normal per-truth-site support (src/cal_af_distribution.py:160-240
+    capability): (ctg, pos, normal_depth, tumor_depth, normal_alt_depth,
+    tumor_alt_depth) rows; either BAM may be None (depths report 0)."""
+    def as_map(bam_path):
+        if bam_path is None:
+            return {}
+        return {(ctg, pos): (cov, alts)
+                for ctg, pos, cov, alts in truth_site_support(
+                    bam_path, ref_path, truth_vcf_path, contigs=contigs,
+                    cfg=cfg)}
+
+    normal = as_map(normal_bam_path)
+    tumor = as_map(tumor_bam_path)
+    out = []
+    for key in sorted(set(normal) | set(tumor)):
+        n_cov, n_alts = normal.get(key, (0, [0]))
+        t_cov, t_alts = tumor.get(key, (0, [0]))
+        out.append((key[0], key[1], n_cov, t_cov,
+                    max(n_alts) if n_alts else 0,
+                    max(t_alts) if t_alts else 0))
+    return out
+
+
+def write_paired_file(records, output_fn):
+    """'ctg pos normal_depth tumor_depth normal_alt tumor_alt' rows."""
     with open(output_fn, "w") as f:
-        for ctg, pos, cov, alt_supports in records:
-            f.write(f"{ctg} {pos} {cov} {','.join(str(s) for s in alt_supports)}\n")
+        for row in records:
+            f.write(" ".join(str(x) for x in row) + "\n")
+    return output_fn
+
+
+def write_truths_file(records, output_fn):
+    """'ctg pos cov alt_cov1[,alt_cov2] [hp1,hp2,hp0]' rows (the reference
+    'truths' format; the HP triple appears only with with_hp)."""
+    with open(output_fn, "w") as f:
+        for rec in records:
+            ctg, pos, cov, alt_supports = rec[:4]
+            row = f"{ctg} {pos} {cov} {','.join(str(s) for s in alt_supports)}"
+            if len(rec) > 4:
+                row += " " + ",".join(str(c) for c in rec[4])
+            f.write(row + "\n")
     return output_fn
 
 

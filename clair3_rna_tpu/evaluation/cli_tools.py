@@ -44,6 +44,17 @@ def add_tool_parsers(subparsers):
     a.add_argument("--with_hp", action="store_true",
                    help="also break counts down by HP haplotag")
 
+    pa = subparsers.add_parser(
+        "cal_af_distribution",
+        help="tumor/normal per-truth-site depth and alt support "
+             "(src/cal_af_distribution.py equivalent)")
+    pa.add_argument("--normal_bam_fn", default=None)
+    pa.add_argument("--tumor_bam_fn", default=None)
+    pa.add_argument("--ref_fn", required=True)
+    pa.add_argument("--truth_vcf_fn", required=True)
+    pa.add_argument("--output_fn", required=True)
+    pa.add_argument("--ctg_name", default=None)
+
     f = subparsers.add_parser(
         "get_truth_from_af",
         help="drop truth variants without RNA read support or with "
@@ -147,6 +158,20 @@ def dispatch_tool(args) -> bool:
                                      with_hp=args.with_hp)
         write_truths_file(records, args.output_fn)
         print(f"[INFO] wrote truth support -> {args.output_fn}")
+        return True
+    if args.command == "cal_af_distribution":
+        from clair3_rna_tpu.evaluation.af_distribution import (
+            paired_site_support, write_paired_file)
+        if not args.normal_bam_fn and not args.tumor_bam_fn:
+            raise SystemExit("[ERROR] cal_af_distribution: provide "
+                             "--normal_bam_fn and/or --tumor_bam_fn")
+        contigs = args.ctg_name.split(",") if args.ctg_name else None
+        records = paired_site_support(args.normal_bam_fn, args.tumor_bam_fn,
+                                      args.ref_fn, args.truth_vcf_fn,
+                                      contigs=contigs)
+        write_paired_file(records, args.output_fn)
+        print(f"[INFO] wrote paired support for {len(records)} sites "
+              f"-> {args.output_fn}")
         return True
     if args.command == "get_truth_from_af":
         from clair3_rna_tpu.evaluation.af_distribution import load_truths_file

@@ -33,8 +33,14 @@ POS_BLOCK = 512             # positions per output tile
 CHANNEL_PAD = 32            # 18 or 30 channels padded to a lane-friendly 32
 
 
-def _kernel(offsets_ref, pos_ref, onehot_ref, out_ref):
-    """Grid: (pos_tiles, event_blocks_per_tile).
+def _kernel(tiles_ref, blocks_ref, firsts_ref, offsets_ref, pos_ref,
+            onehot_ref, out_ref):
+    """Grid: (n_visits,) -- one step per existing (pos_tile, event_block)
+    pair, in tile order. A sequential grid with scalar-prefetched index maps
+    lets Pallas stream the next visit's event block into VMEM while the
+    current one is on the MXU (automatic double buffering); no step is
+    wasted on empty (tile, block) combinations, unlike a dense
+    (tiles x max_blocks) grid whose step count is set by the densest tile.
 
     pos_ref: [1, SUB_ROWS, LANE] int32 event positions.
     onehot_ref: [1, EVENT_BLOCK, CHANNEL_PAD] bf16 channel one-hots (events in
@@ -42,21 +48,20 @@ def _kernel(offsets_ref, pos_ref, onehot_ref, out_ref):
     """
     from jax.experimental import pallas as pl
 
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    v = pl.program_id(0)
+    tile = tiles_ref[v]
 
-    @pl.when(j == 0)
+    @pl.when(firsts_ref[v] == 1)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    blk = offsets_ref[i] // EVENT_BLOCK + j
-    abs_base = blk * EVENT_BLOCK
-    e_lo = offsets_ref[i]
-    e_hi = offsets_ref[i + 1]
+    abs_base = blocks_ref[v] * EVENT_BLOCK
+    e_lo = offsets_ref[tile]
+    e_hi = offsets_ref[tile + 1]
 
     @pl.when((abs_base < e_hi) & (abs_base + EVENT_BLOCK > e_lo))
     def _():
-        tile_base = i * POS_BLOCK
+        tile_base = tile * POS_BLOCK
         p_iota = jax.lax.broadcasted_iota(jnp.int32, (POS_BLOCK, LANE), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         acc = jnp.zeros((POS_BLOCK, CHANNEL_PAD), jnp.float32)
@@ -73,47 +78,58 @@ def _kernel(offsets_ref, pos_ref, onehot_ref, out_ref):
         out_ref[:, :] += acc
 
 
-def _pallas_counts(event_pos, event_onehot, tile_offsets, length, max_blocks,
-                   interpret=False):
+def _pallas_counts(event_pos, event_onehot, visit_tiles, visit_blocks,
+                   visit_firsts, tile_offsets, length, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_tiles = length // POS_BLOCK
+    n_visits = len(visit_tiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles, max_blocks),
+        num_scalar_prefetch=4,
+        grid=(n_visits,),
         in_specs=[
             pl.BlockSpec((1, SUB_ROWS, LANE),
-                         lambda i, j, offs: (offs[i] // EVENT_BLOCK + j, 0, 0),
+                         lambda v, tiles, blocks, firsts, offs:
+                         (blocks[v], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, EVENT_BLOCK, CHANNEL_PAD),
-                         lambda i, j, offs: (offs[i] // EVENT_BLOCK + j, 0, 0),
+                         lambda v, tiles, blocks, firsts, offs:
+                         (blocks[v], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (POS_BLOCK, CHANNEL_PAD), lambda i, j, *_: (i, 0),
+            (POS_BLOCK, CHANNEL_PAD),
+            lambda v, tiles, blocks, firsts, offs: (tiles[v], 0),
             memory_space=pltpu.VMEM),
     )
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"))
+            dimension_semantics=("arbitrary",))
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((length, CHANNEL_PAD), jnp.float32),
         interpret=interpret,
         **kwargs,
-    )(tile_offsets, event_pos, event_onehot)
+    )(visit_tiles, visit_blocks, visit_firsts, tile_offsets,
+      event_pos, event_onehot)
     return out.astype(jnp.int32)
 
 
-_EYE = np.eye(CHANNEL_PAD, dtype=np.float32)
+@jax.jit
+def _device_onehot(chan_blocks):
+    """[n_blocks, EVENT_BLOCK] int8 ids -> bf16 one-hots on device."""
+    return jax.nn.one_hot(chan_blocks.astype(jnp.int32), CHANNEL_PAD,
+                          dtype=jnp.bfloat16)
 
 
 def _prepare(event_pos, event_channel, length):
-    """Sort events, build channel one-hots, compute per-tile offsets."""
+    """Sort events, build channel one-hots, flatten the (tile, block) visit
+    list. Every tile gets at least one visit (to zero its output block);
+    straddling event blocks are visited by both adjacent tiles, with the
+    in-kernel [e_lo, e_hi) mask keeping each event in exactly one tile."""
     event_pos = np.asarray(event_pos, dtype=np.int32)
     event_channel = np.asarray(event_channel, dtype=np.int32)
     order = np.argsort(event_pos, kind="stable")
@@ -124,27 +140,46 @@ def _prepare(event_pos, event_channel, length):
     n_tiles = padded_len // POS_BLOCK
     boundaries = np.arange(0, padded_len + 1, POS_BLOCK)
     offsets = np.searchsorted(event_pos, boundaries).astype(np.int32)
-    per_tile = offsets[1:] - offsets[:-1]
-    max_blocks = max(1, int(-(-per_tile.max() // EVENT_BLOCK)) + 1) if n_tiles else 1
+
+    visit_tiles, visit_blocks, visit_firsts = [], [], []
+    for i in range(n_tiles):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        if hi > lo:
+            blocks = range(lo // EVENT_BLOCK, (hi - 1) // EVENT_BLOCK + 1)
+        else:
+            blocks = (0,)  # zero-init visit for an empty tile
+        for k, b in enumerate(blocks):
+            visit_tiles.append(i)
+            visit_blocks.append(b)
+            visit_firsts.append(1 if k == 0 else 0)
 
     n_events = len(event_pos)
-    n_blocks = -(-n_events // EVENT_BLOCK) + max_blocks  # slack for index maps
+    n_blocks = max(1, -(-n_events // EVENT_BLOCK))
     pad = n_blocks * EVENT_BLOCK - n_events
     event_pos = np.concatenate([event_pos, np.full(pad, -1, np.int32)])
     event_channel = np.concatenate([event_channel, np.zeros(pad, np.int32)])
-    onehot = _EYE[event_channel].astype(jnp.bfloat16)
+    # ship 1-byte channel ids; the one-hot expands on device (host-built
+    # bf16 one-hots cost 64 B/event of host->device bandwidth vs 5 B/event
+    # for ids+positions)
+    onehot = _device_onehot(
+        jnp.asarray(event_channel.astype(np.int8).reshape(n_blocks,
+                                                          EVENT_BLOCK)))
     return (jnp.asarray(event_pos.reshape(n_blocks, SUB_ROWS, LANE)),
-            jnp.asarray(onehot.reshape(n_blocks, EVENT_BLOCK, CHANNEL_PAD)),
-            jnp.asarray(offsets), padded_len, max_blocks)
+            onehot,
+            jnp.asarray(np.asarray(visit_tiles, np.int32)),
+            jnp.asarray(np.asarray(visit_blocks, np.int32)),
+            jnp.asarray(np.asarray(visit_firsts, np.int32)),
+            jnp.asarray(offsets), padded_len)
 
 
 def pileup_counts_pallas(event_pos, event_channel, length, n_channels=18,
                          interpret=False):
     """counts[length, n_channels] from (pos, channel) events via the TPU
     kernel (or its interpreter for CPU tests)."""
-    (pos_dev, onehot_dev, offsets, padded_len, max_blocks) = _prepare(
-        event_pos, event_channel, length)
-    out = _pallas_counts(pos_dev, onehot_dev, offsets, padded_len, max_blocks,
+    (pos_dev, onehot_dev, visit_tiles, visit_blocks, visit_firsts, offsets,
+     padded_len) = _prepare(event_pos, event_channel, length)
+    out = _pallas_counts(pos_dev, onehot_dev, visit_tiles, visit_blocks,
+                         visit_firsts, offsets, padded_len,
                          interpret=interpret)
     return np.asarray(out)[:length, :n_channels]
 
@@ -168,13 +203,16 @@ def pileup_counts(event_pos, event_channel, length, n_channels=18,
                   use_pallas=False):
     """Device scatter-count dispatch.
 
-    Measured on a v5e chip with 3M events over 32k positions: the XLA
-    segment-sum path reaches ~130M events/s while the Pallas one-hot-matmul
-    kernel is latency-bound on its data-dependent block DMAs (~5M events/s),
-    so segment-sum is the default on every backend and the Pallas kernel
-    stays opt-in until its block streaming is double-buffered. (The
-    production pipeline builds counts in the native C++ extractor anyway;
-    this device path exists for TPU-resident end-to-end experiments.)
+    Measured on a (tunnel-attached) v5e with 3M events over 32k positions,
+    end to end including host->device transfer per call: segment-sum ~5.9M
+    events/s, Pallas ~2.1M events/s. The flattened visit-list grid plus
+    on-device one-hot expansion brought the Pallas path from 8.7s to 1.4s
+    per call (6x), and at that point BOTH paths are transfer-bound on this
+    link (24 MB of events per call), so segment-sum stays the default and
+    the Pallas kernel remains opt-in for TPU-resident pipelines where the
+    events already live in HBM. (The production pipeline builds counts in
+    the native C++ extractor anyway; this device path exists for
+    TPU-resident end-to-end experiments.)
     """
     if len(event_pos) == 0:
         return np.zeros((length, n_channels), np.int32)

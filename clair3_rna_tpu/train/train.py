@@ -48,6 +48,9 @@ def train_model(bin_dir, output_path, *, add_indel_length=True, phased=False,
                 len(X_train), n_val)
 
     n_dev = len(jax.devices()) if use_mesh else 1
+    # clamp to the training set so small datasets still take gradient steps
+    # (the step loop drops partial batches to keep the jit shape fixed)
+    batch_size = min(batch_size, len(X_train))
     batch_size = max(n_dev, batch_size - batch_size % n_dev)
     mesh = make_mesh(tp=1)
     model = PileupNet(add_indel_length=add_indel_length)

@@ -118,3 +118,45 @@ def test_add_back_and_concat(tmp_path):
     out, n = concat_files(str(d), str(tmp_path / "cat.txt"), prefix="part_")
     assert n == 2
     assert open(out).read() == "#h\n1\n2\n"
+
+
+def test_paired_af_distribution(tmp_path):
+    """Tumor/normal support tool (src/cal_af_distribution.py capability)."""
+    from clair3_rna_tpu.evaluation.af_distribution import (
+        paired_site_support, write_paired_file)
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=61, contig_len=5000, n_variants=8, depth=25)
+    truth_path = _write_truth(str(tmp_path / "truth.vcf"), variants)
+    records = paired_site_support(bam, bam, fasta, truth_path)
+    assert records
+    for ctg, pos, n_cov, t_cov, n_alt, t_alt in records:
+        assert n_cov == t_cov and n_alt == t_alt  # same BAM both sides
+        assert n_cov > 0
+    out = write_paired_file(records, str(tmp_path / "paired"))
+    rows = open(out).read().splitlines()
+    assert len(rows) == len(records)
+    # one-sided: normal only
+    one = paired_site_support(bam, None, fasta, truth_path)
+    assert all(r[3] == 0 for r in one)
+
+
+def test_truth_support_with_hp(tmp_path):
+    from clair3_rna_tpu.evaluation.af_distribution import (
+        load_truths_file, truth_site_support, write_truths_file)
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=62, contig_len=5000, n_variants=8, depth=25,
+        with_hp=True)
+    truth_path = _write_truth(str(tmp_path / "truth.vcf"), variants)
+    records = truth_site_support(bam, fasta, truth_path, with_hp=True)
+    assert records
+    for rec in records:
+        assert len(rec) == 5
+        cov, hp = rec[2], rec[4]
+        # HP1 + HP2 + untagged covers the base reads; depth can also
+        # include deletion placeholders, so the sum is bounded by cov
+        assert 0 < sum(hp) <= cov
+    out = write_truths_file(records, str(tmp_path / "truths"))
+    support = load_truths_file(out)   # HP column must not break the loader
+    assert len(support) == len(records)

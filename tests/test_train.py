@@ -5,6 +5,8 @@ trained-model test; its demo relies on shipped checkpoints)."""
 
 import os
 
+import jax
+
 import numpy as np
 
 from clair3_rna_tpu.config import PileupConfig
@@ -60,3 +62,36 @@ def test_train_and_call_recovers_variants(tmp_path):
     result = compare_vcf(outputs[0], truth_path, skip_genotyping=True)
     # overfit on its own training region: must recover most planted variants
     assert result.overall.f1 > 0.6, result.overall.row("overall")
+
+
+def test_train_batch_larger_than_dataset_still_learns(tmp_path):
+    """Regression: with batch_size > n_samples the loop used to drop the only
+    (partial) batch every epoch and silently save the initial random weights."""
+    import numpy as np
+    from clair3_rna_tpu.models.network import init_params
+    from clair3_rna_tpu.models.params_io import load_params
+    from clair3_rna_tpu.train.train import train_model
+
+    rng = np.random.RandomState(0)
+    n = 60
+    X = rng.randint(-20, 20, size=(n, 33, 18)).astype(np.int32)
+    Y = np.zeros((n, 90), np.float32)
+    Y[:, 0] = 1.0
+    Y[:, 21] = 1.0
+    Y[:, 24 + 16] = 1.0
+    Y[:, 57 + 16] = 1.0
+    bin_dir = tmp_path / "bins"
+    bin_dir.mkdir()
+    np.savez_compressed(
+        bin_dir / "bin_00000.npz", position_matrix=X, label=Y,
+        position=np.arange(n), alt_info=np.array(["5-"] * n))
+    out = str(tmp_path / "w.npz")
+    train_model(str(bin_dir), out, add_indel_length=False, batch_size=2000,
+                max_epochs=2, use_mesh=False)
+    trained = load_params(out)
+    init = init_params(0, add_indel_length=False)
+    leaves_t = jax.tree_util.tree_leaves(trained)
+    leaves_i = jax.tree_util.tree_leaves(init)
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-7
+               for a, b in zip(leaves_t, leaves_i)), \
+        "weights unchanged from init: no training step ran"
