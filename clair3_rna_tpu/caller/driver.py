@@ -125,12 +125,40 @@ def run_shard_calling(args, cfg, call_cfg: CallConfig):
     return []
 
 
+def _attach_run_log(output_dir):
+    """Duplicate log records into <output_dir>/run_clair3_rna_tpu.log (the
+    reference's Tee, run_clair3_rna:75-90)."""
+    path = os.path.abspath(
+        os.path.join(output_dir, "run_clair3_rna_tpu.log"))
+    root = logging.getLogger()
+    if any(isinstance(h, logging.FileHandler)
+           and getattr(h, "baseFilename", None) == path
+           for h in root.handlers):
+        return
+    handler = logging.FileHandler(path)
+    handler.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+    root.addHandler(handler)
+
+
 def run_full_calling(args, cfg, call_cfg: CallConfig):
+    if getattr(args, "dry_run", False):
+        from clair3_rna_tpu.pileup.chunk import plan_chunks
+        contigs, bed_regions, _ = _resolve_inputs(args)
+        fasta = FastaFile(args.ref_fn)
+        tasks = plan_chunks(fasta, contigs=contigs,
+                            chunk_size=args.chunk_size or config.CHUNK_SIZE)
+        print(f"[DRY RUN] {len(contigs)} contig(s), {len(tasks)} chunk(s):")
+        for t in tasks:
+            print(f"  {t.ctg_name}\t{t.start}\t{t.end}")
+        return []
     if getattr(args, "n_shards", None):
         if getattr(args, "shard_id", None) is None:
             raise SystemExit("[ERROR] --n_shards requires --shard_id")
+        os.makedirs(args.output_dir, exist_ok=True)
+        _attach_run_log(args.output_dir)
         return run_shard_calling(args, cfg, call_cfg)
     os.makedirs(args.output_dir, exist_ok=True)
+    _attach_run_log(args.output_dir)
     contigs, bed_regions, known_positions = _resolve_inputs(args)
 
     mesh = None

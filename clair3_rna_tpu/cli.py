@@ -79,6 +79,9 @@ def _add_call_parser(subparsers):
                         "workers; this process only writes shard manifests")
     p.add_argument("--shard_id", type=int, default=None,
                    help="multi-host mode: this worker's shard index")
+    p.add_argument("--dry_run", action="store_true",
+                   help="print the resolved contig/chunk plan and exit "
+                        "without calling")
     return p
 
 

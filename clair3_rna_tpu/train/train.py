@@ -72,6 +72,12 @@ def train_model(bin_dir, output_path, *, add_indel_length=True, phased=False,
         best_params = params
         bad_epochs = 0
         steps_per_epoch = max(1, len(X_train) // batch_size)
+        if steps_per_epoch < 8:
+            logger.warning(
+                "[WARNING] only %d optimizer step(s) per epoch (batch %d vs "
+                "%d samples): with few total steps the model will undertrain; "
+                "lower --batch_size for small datasets",
+                steps_per_epoch, batch_size, len(X_train))
         for epoch in range(max_epochs):
             perm = rng.permutation(len(X_train))
             epoch_loss = 0.0

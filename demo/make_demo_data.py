@@ -24,14 +24,16 @@ def main():
     ap.add_argument("--n_variants", type=int, default=800)
     ap.add_argument("--depth", type=int, default=35)
     ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--contig_name", default="chr1")
     args = ap.parse_args()
 
     from tests import simdata
     from clair3_rna_tpu.io.fasta import write_fasta
 
+    ctg = args.contig_name
     os.makedirs(args.output_dir, exist_ok=True)
     rng = random.Random(args.seed)
-    genome = simdata.random_genome(rng, [("chr1", args.contig_len)])
+    genome = simdata.random_genome(rng, [(ctg, args.contig_len)])
     variants = simdata.plant_variants(rng, genome,
                                       n_per_contig=args.n_variants)
     fasta = os.path.join(args.output_dir, "ref.fa")
@@ -39,22 +41,22 @@ def main():
     write_fasta(fasta, genome)
     mid = args.contig_len // 2
     simdata.simulate_bam(bam, genome, variants, rng, depth=args.depth,
-                         splice_sites={"chr1": [(mid - 2000, mid + 3000)]})
+                         splice_sites={ctg: [(mid - 2000, mid + 3000)]})
 
     truth = os.path.join(args.output_dir, "truth.vcf")
     with open(truth, "w") as f:
         f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
                 "FILTER\tINFO\tFORMAT\tSAMPLE\n")
-        for v in variants["chr1"]:
+        for v in variants[ctg]:
             gt = "1/1" if v.genotype == (1, 1) else "0/1"
-            f.write(f"chr1\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\t.\t"
+            f.write(f"{ctg}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\t.\t"
                     f"GT\t{gt}\n")
 
     bed = os.path.join(args.output_dir, "high_conf.bed")
     with open(bed, "w") as f:
-        f.write(f"chr1\t0\t{args.contig_len}\n")
+        f.write(f"{ctg}\t0\t{args.contig_len}\n")
     print(f"[INFO] demo data in {args.output_dir}: "
-          f"{len(variants['chr1'])} planted variants")
+          f"{len(variants[ctg])} planted variants")
 
 
 if __name__ == "__main__":

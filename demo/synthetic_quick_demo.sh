@@ -22,19 +22,22 @@ else
     export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 fi
 
-echo "== 1/5 generate synthetic dataset =="
-python "$DEMO_DIR/make_demo_data.py" --output_dir "$WORK/data"
+echo "== 1/5 generate synthetic datasets (train + held-out eval) =="
+python "$DEMO_DIR/make_demo_data.py" --output_dir "$WORK/train_data" \
+    --contig_len 900000 --n_variants 2400 --seed 7
+python "$DEMO_DIR/make_demo_data.py" --output_dir "$WORK/data" \
+    --contig_len 300000 --n_variants 800 --seed 2024
 
-echo "== 2/5 build training bins =="
+echo "== 2/5 build training bins (from the training genome only) =="
 python -m clair3_rna_tpu tensor2bin \
-    --bam_fn "$WORK/data/reads.bam" --ref_fn "$WORK/data/ref.fa" \
-    --truth_vcf_fn "$WORK/data/truth.vcf" --output_dir "$WORK/bins" \
+    --bam_fn "$WORK/train_data/reads.bam" --ref_fn "$WORK/train_data/ref.fa" \
+    --truth_vcf_fn "$WORK/train_data/truth.vcf" --output_dir "$WORK/bins" \
     --non_variant_keep_fraction 1.0
 
-echo "== 3/5 train (few epochs on the demo data) =="
+echo "== 3/5 train =="
 python -m clair3_rna_tpu train \
     --bin_dir "$WORK/bins" --output_fn "$WORK/weights.npz" \
-    --max_epochs 30 --no_indel_length
+    --max_epochs 60 --batch_size 256 --no_indel_length
 
 echo "== 4/5 call variants with the trained weights =="
 python -m clair3_rna_tpu call \
