@@ -12,6 +12,9 @@ def add_train_parsers(subparsers):
     b.add_argument("--platform", default="ont_dorado_drna004")
     b.add_argument("--non_variant_keep_fraction", type=float, default=0.1)
     b.add_argument("--shard_size", type=int, default=20000)
+    b.add_argument("--phased", action="store_true",
+                   help="30-channel tensors from an HP-haplotagged BAM "
+                        "(phasing-model training)")
 
     t = subparsers.add_parser("train", help="train the pileup network")
     t.add_argument("--bin_dir", required=True)
@@ -21,13 +24,15 @@ def add_train_parsers(subparsers):
     t.add_argument("--max_epochs", type=int, default=30)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--no_indel_length", action="store_true")
+    t.add_argument("--phased", action="store_true",
+                   help="train the 30-channel phasing model")
 
 
 def dispatch_train(args) -> bool:
     if args.command == "tensor2bin":
         from clair3_rna_tpu.config import PileupConfig
         from clair3_rna_tpu.train.data import build_training_bins
-        cfg = PileupConfig.for_platform(args.platform)
+        cfg = PileupConfig.for_platform(args.platform, phased=args.phased)
         contigs = args.ctg_name.split(",") if args.ctg_name else None
         build_training_bins(args.bam_fn, args.ref_fn, args.truth_vcf_fn,
                             args.output_dir, cfg=cfg, contigs=contigs,
@@ -38,6 +43,7 @@ def dispatch_train(args) -> bool:
         from clair3_rna_tpu.train.train import train_model
         train_model(args.bin_dir, args.output_fn,
                     add_indel_length=not args.no_indel_length,
+                    phased=args.phased,
                     batch_size=args.batch_size,
                     learning_rate=args.learning_rate,
                     max_epochs=args.max_epochs, seed=args.seed)

@@ -34,6 +34,14 @@ def train_model(bin_dir, output_path, *, add_indel_length=True, phased=False,
     from clair3_rna_tpu.train.data import load_bins
 
     X, Y = load_bins(bin_dir)
+    expected_channels = config.CHANNEL_SIZE + (
+        config.PHASED_CHANNEL_SIZE if phased else 0)
+    if X.shape[-1] != expected_channels:
+        raise SystemExit(
+            f"[ERROR] bins have {X.shape[-1]} channels but "
+            f"{'--phased' if phased else 'unphased'} training expects "
+            f"{expected_channels} (rebuild with tensor2bin "
+            f"{'--phased' if phased else 'without --phased'})")
     n = len(X)
     rng = np.random.RandomState(seed)
     order = rng.permutation(n)
