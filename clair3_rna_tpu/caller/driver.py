@@ -141,6 +141,11 @@ def _attach_run_log(output_dir):
 
 
 def run_full_calling(args, cfg, call_cfg: CallConfig):
+    if getattr(args, "threads", None):
+        # the native tile builder partitions the position axis across this
+        # many threads (clair3_rna_tpu/native: tile_thread_count)
+        os.environ.setdefault("CLAIR3_RNA_TPU_NATIVE_THREADS",
+                              str(args.threads))
     if getattr(args, "dry_run", False):
         from clair3_rna_tpu.pileup.chunk import plan_chunks
         contigs, bed_regions, _ = _resolve_inputs(args)
