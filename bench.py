@@ -65,12 +65,16 @@ def bench_ours(fasta_path, bam_path):
     from clair3_rna_tpu.caller.pipeline import run_calling
     from clair3_rna_tpu.models.network import init_params, make_forward_fn
 
-    cfg = PileupConfig(batch_size=512)
+    cfg = PileupConfig(batch_size=2048)
     call_cfg = CallConfig(show_ref=False)
     params = init_params(0)
     _, forward = make_forward_fn()
-    np.asarray(forward(params, np.zeros(
-        (cfg.batch_size, 33, 18), np.int32)))  # warmup/compile
+    # warm every batch bucket the pipeline can dispatch (full batch + the
+    # power-of-two flush buckets); all compile once into the persistent cache
+    b = cfg.batch_size
+    while b >= 64:
+        np.asarray(forward(params, np.zeros((b, 33, 18), np.int16)))
+        b //= 2
 
     out_path = os.path.join(os.path.dirname(bam_path), "bench_out.vcf")
     t0 = time.time()

@@ -652,7 +652,10 @@ def decode_one(chromosome, position, reference_sequence, alt_info,
     Returns the VCF row string, or None when the site produces no output.
     """
     tensor_position_center = config.FLANKING_BASE_NUM if len(reference_sequence) > 1 else 0
-    read_depth, alt_info_dict = parse_alt_info(alt_info)
+    if isinstance(alt_info, str):
+        read_depth, alt_info_dict = parse_alt_info(alt_info)
+    else:  # pre-parsed (depth, {key: count}) from TensorRecord.alt_data
+        read_depth, alt_info_dict = alt_info
 
     output_info = output_from(
         reference_sequence, tensor_position_center, gt21_probabilities,

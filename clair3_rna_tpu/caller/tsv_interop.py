@@ -107,6 +107,7 @@ def call_variants_from_tsv(in_stream, out_stream, *, cfg: PileupConfig,
         if len(renorm):
             X = X.copy()
             X[renorm] = X[renorm] / (depths[renorm, None, None] / max_depth)
+        X = X.astype(np.int16)  # lossless post-renorm; halves device transfer
         n = len(X)
         if n < cfg.batch_size:
             pad = np.zeros((cfg.batch_size - n,) + X.shape[1:], X.dtype)

@@ -19,54 +19,22 @@ import flax.linen as nn
 from clair3_rna_tpu import config
 
 
-class LSTMLayer(nn.Module):
-    """Single-direction LSTM over [B, T, D] with Keras gate layout (i,f,g,o).
-
-    The input projection for every timestep is computed as one [B*T, D] x
-    [D, 4U] matmul (MXU-sized work) before the sequential scan; the scan then
-    only carries the [B, U] recurrence.
-    """
+class LSTMCellParams(nn.Module):
+    """Parameter shell for one LSTM direction with Keras gate layout
+    (i,f,g,o). Declared as a named child module so the param tree keeps the
+    lstm{1,2}/{forward,backward}/{kernel,recurrent_kernel,bias} layout the TF
+    checkpoint converter targets (models/convert.py)."""
 
     units: int
-    reverse: bool = False
-    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        batch, seq_len, in_dim = x.shape
+    def __call__(self, in_dim):
         kernel = self.param("kernel", nn.initializers.glorot_uniform(),
                             (in_dim, 4 * self.units))
         recurrent = self.param("recurrent_kernel", nn.initializers.orthogonal(),
                                (self.units, 4 * self.units))
         bias = self.param("bias", _keras_lstm_bias_init, (4 * self.units,))
-
-        dtype = self.compute_dtype
-        x = x.astype(dtype)
-        xproj = x @ kernel.astype(dtype) + bias.astype(dtype)  # [B, T, 4U]
-        if self.reverse:
-            xproj = jnp.flip(xproj, axis=1)
-        xproj = jnp.swapaxes(xproj, 0, 1)  # [T, B, 4U] for scan
-
-        rec = recurrent.astype(dtype)
-        units = self.units
-
-        def step(carry, xt):
-            h, c = carry
-            z = xt + h @ rec
-            i = jax.nn.sigmoid(z[:, :units])
-            f = jax.nn.sigmoid(z[:, units:2 * units])
-            g = jnp.tanh(z[:, 2 * units:3 * units])
-            o = jax.nn.sigmoid(z[:, 3 * units:])
-            c = f * c + i * g
-            h = o * jnp.tanh(c)
-            return (h, c), h
-
-        init = (jnp.zeros((batch, units), dtype), jnp.zeros((batch, units), dtype))
-        _, hs = jax.lax.scan(step, init, xproj)
-        hs = jnp.swapaxes(hs, 0, 1)  # [B, T, U]
-        if self.reverse:
-            hs = jnp.flip(hs, axis=1)
-        return hs
+        return kernel, recurrent, bias
 
 
 def _keras_lstm_bias_init(key, shape, dtype=jnp.float32):
@@ -77,15 +45,55 @@ def _keras_lstm_bias_init(key, shape, dtype=jnp.float32):
 
 
 class BiLSTM(nn.Module):
+    """Bidirectional LSTM over [B, T, D], TPU-first execution:
+
+    - input projections for every timestep and BOTH directions are computed
+      as large MXU matmuls before the recurrence;
+    - the two directions run in ONE lax.scan with a direction-batched
+      dot_general ([2,B,U] x [2,U,4U]), halving the sequential-step count vs
+      scanning each direction separately (the dominant cost: the recurrence
+      is latency-bound, not FLOPs-bound, at this model size);
+    - the scan is partially unrolled so XLA can pipeline consecutive steps.
+
+    Numerics are bitwise identical to the per-direction formulation.
+    """
+
     units: int
     compute_dtype: jnp.dtype = jnp.float32
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x):
-        fwd = LSTMLayer(self.units, reverse=False, name="forward",
-                        compute_dtype=self.compute_dtype)(x)
-        bwd = LSTMLayer(self.units, reverse=True, name="backward",
-                        compute_dtype=self.compute_dtype)(x)
+        batch, seq_len, in_dim = x.shape
+        kf, rf, bf = LSTMCellParams(self.units, name="forward")(in_dim)
+        kb, rb, bb = LSTMCellParams(self.units, name="backward")(in_dim)
+
+        dtype = self.compute_dtype
+        units = self.units
+        x = x.astype(dtype)
+        xp_f = x @ kf.astype(dtype) + bf.astype(dtype)            # [B, T, 4U]
+        xp_b = jnp.flip(x @ kb.astype(dtype) + bb.astype(dtype), axis=1)
+        xp = jnp.stack([xp_f, xp_b], axis=0)                       # [2, B, T, 4U]
+        xp = jnp.transpose(xp, (2, 0, 1, 3))                       # [T, 2, B, 4U]
+        rec = jnp.stack([rf, rb], axis=0).astype(dtype)            # [2, U, 4U]
+
+        def step(carry, xt):
+            h, c = carry                                           # [2, B, U]
+            z = xt + jax.lax.dot_general(
+                h, rec, (((2,), (1,)), ((0,), (0,))))
+            i = jax.nn.sigmoid(z[..., :units])
+            f = jax.nn.sigmoid(z[..., units:2 * units])
+            g = jnp.tanh(z[..., 2 * units:3 * units])
+            o = jax.nn.sigmoid(z[..., 3 * units:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        init = (jnp.zeros((2, batch, units), dtype),
+                jnp.zeros((2, batch, units), dtype))
+        _, hs = jax.lax.scan(step, init, xp, unroll=self.unroll)   # [T, 2, B, U]
+        fwd = jnp.swapaxes(hs[:, 0], 0, 1)                         # [B, T, U]
+        bwd = jnp.flip(jnp.swapaxes(hs[:, 1], 0, 1), axis=1)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 

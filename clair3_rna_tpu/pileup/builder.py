@@ -63,7 +63,7 @@ class TensorRecord:
     src/create_tensor_pileup.py:595-605)."""
 
     __slots__ = ("ctg_name", "position", "ref_seq", "tensor", "depth",
-                 "_alt_info", "_alt_thunk")
+                 "_alt_info", "_alt_data", "_alt_thunk")
 
     def __init__(self, ctg_name, position, ref_seq, tensor, depth,
                  alt_info=None, alt_thunk=None):
@@ -73,13 +73,25 @@ class TensorRecord:
         self.tensor = tensor       # [33, 18(+12)] int32
         self.depth = depth
         self._alt_info = alt_info
+        self._alt_data = None
         self._alt_thunk = alt_thunk
+
+    @property
+    def alt_data(self) -> tuple:
+        """(read_depth, {allele_key: count}) — parsed form of alt_info."""
+        if self._alt_data is None:
+            if self._alt_thunk is not None:
+                self._alt_data = self._alt_thunk()
+                self._alt_thunk = None
+            else:
+                from clair3_rna_tpu.caller.decode import parse_alt_info
+                self._alt_data = parse_alt_info(self._alt_info)
+        return self._alt_data
 
     @property
     def alt_info(self) -> str:
         if self._alt_info is None:
-            self._alt_info = self._alt_thunk()
-            self._alt_thunk = None
+            self._alt_info = format_alt_info(*self.alt_data)
         return self._alt_info
 
     def to_reference_row(self) -> str:
@@ -324,12 +336,17 @@ class SparseIndels:
                                events.del_pos, events.del_rank, events.del_len)
 
 
-def alt_info_string(indels: SparseIndels, feat: TileFeatures, pos: int,
-                    ref_seq: str, ref_seq_start: int) -> str:
-    """Build the candidate's "depth-<alleles>" summary exactly like the
-    reference alt_dict (src/create_tensor_pileup.py:219-261, 595-596):
-    keys in first-occurrence column order, 'R<ref>' appended last. SNP (X)
-    entries come straight from the case-merged group counts/ranks."""
+def alt_info_data(indels: SparseIndels, feat: TileFeatures, pos: int,
+                  ref_seq: str, ref_seq_start: int) -> tuple:
+    """Build the candidate's allele summary exactly like the reference
+    alt_dict (src/create_tensor_pileup.py:219-261, 595-596): keys in
+    first-occurrence column order, 'R<ref>' appended last. SNP (X) entries
+    come straight from the case-merged group counts/ranks.
+
+    Returns (depth, {key: count}) — the already-parsed form of the
+    reference's "depth-<alleles>" TSV field, so the in-process decoder can
+    skip the string round-trip (alt_info_string formats the TSV field from
+    this for wire-format interop)."""
     i = pos - feat.start
     ref_base = _BASES[feat.eff_ref_code[i]]
     entries = []  # (rank, key, count)
@@ -368,11 +385,22 @@ def alt_info_string(indels: SparseIndels, feat: TileFeatures, pos: int,
             entries.append((rank, "D" + del_base, count))
 
     entries.sort(key=lambda e: e[0])
-    parts = [f"{key} {count}" for _, key, count in entries]
+    alt_dict = {key: count for _, key, count in entries}
     rc = int(feat.ref_count[i])
     if rc > 0:
-        parts.append(f"R{ref_base} {rc}")
-    return f"{int(feat.depth[i])}-" + " ".join(parts)
+        alt_dict["R" + ref_base] = rc
+    return int(feat.depth[i]), alt_dict
+
+
+def alt_info_string(indels: SparseIndels, feat: TileFeatures, pos: int,
+                    ref_seq: str, ref_seq_start: int) -> str:
+    """The reference "depth-<alleles>" TSV field (create_tensor_pileup.py:595-596)."""
+    return format_alt_info(*alt_info_data(indels, feat, pos, ref_seq,
+                                          ref_seq_start))
+
+
+def format_alt_info(depth: int, alt_dict: dict) -> str:
+    return f"{depth}-" + " ".join(f"{k} {v}" for k, v in alt_dict.items())
 
 
 def negated_counts(feat: TileFeatures) -> np.ndarray:
@@ -580,7 +608,7 @@ def build_tensors(indels, feat: TileFeatures, cfg: PileupConfig,
             ref_seq=_flanked_ref(ref_seq, ref_seq_start, center_abs, flank),
             tensor=tensors[i],
             depth=int(depths[i]),
-            alt_thunk=(lambda p=center_abs: alt_info_string(
+            alt_thunk=(lambda p=center_abs: alt_info_data(
                 indels, feat, p, ref_seq, ref_seq_start)),
         ))
     return records
