@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -shared -fPIC pileup_native.cc -o libpileup_native.so -lz
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -62,11 +63,16 @@ inline int8_t code_of_nt16(uint8_t nt16) {
   }
 }
 
+// BGZF members are independent deflate streams whose uncompressed size is
+// recorded in the 4-byte ISIZE footer (BGZF caps members at 64 KiB, so ISIZE
+// is exact). Scan the member headers serially (cheap), size the output with a
+// prefix sum, then inflate members in parallel straight into their slots.
 bool bgzf_decompress_all(const uint8_t* src, size_t n, std::vector<uint8_t>* out) {
-  size_t pos = 0;
-  out->clear();
-  out->reserve(n * 3);
-  std::vector<uint8_t> buf(1 << 16);
+  struct Member {
+    size_t payload_off, payload_len, dst_off, dst_len;
+  };
+  std::vector<Member> members;
+  size_t pos = 0, total = 0;
   while (pos + 18 <= n) {
     if (src[pos] != 0x1f || src[pos + 1] != 0x8b) return false;
     uint16_t xlen;
@@ -85,29 +91,57 @@ bool bgzf_decompress_all(const uint8_t* src, size_t n, std::vector<uint8_t>* out
       }
       i += 4 + slen;
     }
-    if (bsize < 0) return false;
-    const uint8_t* payload = src + pos + 12 + xlen;
-    size_t payload_len = bsize - 12 - xlen - 8;
-    z_stream zs{};
-    if (inflateInit2(&zs, -15) != Z_OK) return false;
-    zs.next_in = const_cast<uint8_t*>(payload);
-    zs.avail_in = static_cast<uInt>(payload_len);
-    while (true) {
-      zs.next_out = buf.data();
-      zs.avail_out = static_cast<uInt>(buf.size());
-      int rc = inflate(&zs, Z_FINISH);
-      out->insert(out->end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
-      if (rc == Z_STREAM_END) break;
-      if (rc != Z_OK && rc != Z_BUF_ERROR) {
-        inflateEnd(&zs);
-        return false;
-      }
-      if (zs.avail_in == 0 && rc == Z_BUF_ERROR) break;
-    }
-    inflateEnd(&zs);
+    if (bsize < 0 || pos + bsize > n) return false;
+    uint32_t isize;
+    memcpy(&isize, src + pos + bsize - 4, 4);
+    members.push_back({pos + 12 + xlen, bsize - 12ul - xlen - 8ul, total, isize});
+    total += isize;
     pos += bsize;
   }
-  return true;
+  out->resize(total);
+  uint8_t* dst = out->data();
+
+  std::atomic<bool> ok{true};
+  auto inflate_range = [&](size_t lo, size_t hi) {
+    z_stream zs{};
+    if (inflateInit2(&zs, -15) != Z_OK) {
+      ok.store(false);
+      return;
+    }
+    for (size_t b = lo; b < hi && ok.load(std::memory_order_relaxed); ++b) {
+      const Member& m = members[b];
+      if (m.dst_len == 0) continue;
+      if (inflateReset(&zs) != Z_OK) {
+        ok.store(false);
+        break;
+      }
+      zs.next_in = const_cast<uint8_t*>(src + m.payload_off);
+      zs.avail_in = static_cast<uInt>(m.payload_len);
+      zs.next_out = dst + m.dst_off;
+      zs.avail_out = static_cast<uInt>(m.dst_len);
+      if (inflate(&zs, Z_FINISH) != Z_STREAM_END || zs.avail_out != 0) {
+        ok.store(false);
+        break;
+      }
+    }
+    inflateEnd(&zs);
+  };
+
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int n_threads = std::max(1, std::min<int>(hw, members.size() / 16));
+  if (n_threads == 1) {
+    inflate_range(0, members.size());
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) {
+      size_t lo = members.size() * t / n_threads;
+      size_t hi = members.size() * (t + 1) / n_threads;
+      threads.emplace_back(inflate_range, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  }
+  return ok.load();
 }
 
 int32_t reference_span(const uint8_t* body) {

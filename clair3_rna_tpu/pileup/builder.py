@@ -599,19 +599,77 @@ def build_tensors(indels, feat: TileFeatures, cfg: PileupConfig,
                                 tensor_img[p][eff + 9] = tensor[idx][eff + 9]
 
     depths = feat.depth[cand_idx]
+    # everything the lazy alt_data thunks need, precomputed in a handful of
+    # vectorized ops so the thunk body is pure Python scalars (per-candidate
+    # numpy indexing dominated host decode time otherwise)
+    pos_abs = cand_idx.astype(np.int64) + start
+    eff_l = feat.eff_ref_code[cand_idx].tolist()
+    gc_l = feat.group_count[cand_idx, :4].tolist()
+    gr_l = feat.group_rank[cand_idx, :4].tolist()
+    rc_l = feat.ref_count[cand_idx].tolist()
+    dp_l = depths.tolist()
+    ins_lo = np.searchsorted(indels.ins_pos, pos_abs, side="left").tolist()
+    ins_hi = np.searchsorted(indels.ins_pos, pos_abs, side="right").tolist()
+    del_lo = np.searchsorted(indels.del_pos, pos_abs, side="left").tolist()
+    del_hi = np.searchsorted(indels.del_pos, pos_abs, side="right").tolist()
+
     records = []
     for i in range(n):
-        center_abs = int(cand_idx[i]) + start
+        center_abs = int(pos_abs[i])
         records.append(TensorRecord(
             ctg_name=ctg_name,
             position=center_abs + 1,
             ref_seq=_flanked_ref(ref_seq, ref_seq_start, center_abs, flank),
             tensor=tensors[i],
-            depth=int(depths[i]),
-            alt_thunk=(lambda p=center_abs: alt_info_data(
-                indels, feat, p, ref_seq, ref_seq_start)),
+            depth=dp_l[i],
+            alt_thunk=(lambda i=i, p=center_abs: _alt_data_fast(
+                indels, p, dp_l[i], eff_l[i], gc_l[i], gr_l[i], rc_l[i],
+                ins_lo[i], ins_hi[i], del_lo[i], del_hi[i],
+                ref_seq, ref_seq_start)),
         ))
     return records
+
+
+def _alt_data_fast(indels, pos, depth, eff, gcounts, granks, ref_count,
+                   i_lo, i_hi, d_lo, d_hi, ref_seq, ref_seq_start):
+    """alt_info_data with all per-candidate lookups pre-resolved to Python
+    scalars by build_tensors; semantics identical (differentially tested by
+    tests/test_pileup_parity.py through the TSV wire format)."""
+    entries = []
+    for code in range(4):
+        if code == eff:
+            continue
+        count = gcounts[code]
+        if count:
+            entries.append((granks[code], "X" + _BASES[code], count))
+
+    if i_hi > i_lo:
+        alleles = indels.ins_allele[i_lo:i_hi].tolist()
+        ranks = indels.ins_rank[i_lo:i_hi].tolist()
+        ref_base = _BASES[eff]
+        by_allele = {}
+        for allele, rank in zip(alleles, ranks):
+            cnt, mn = by_allele.get(allele, (0, _RANK_INF))
+            by_allele[allele] = (cnt + 1, rank if rank < mn else mn)
+        for allele, (count, rank) in by_allele.items():
+            entries.append((rank, "I" + ref_base + indels.ins_seqs[allele], count))
+
+    if d_hi > d_lo:
+        dlens = indels.del_len[d_lo:d_hi].tolist()
+        ranks = indels.del_rank[d_lo:d_hi].tolist()
+        by_len = {}
+        for dlen, rank in zip(dlens, ranks):
+            cnt, mn = by_len.get(dlen, (0, _RANK_INF))
+            by_len[dlen] = (cnt + 1, rank if rank < mn else mn)
+        for dlen, (count, rank) in by_len.items():
+            del_base = ref_seq[pos + 1 - ref_seq_start: pos + 1 + dlen - ref_seq_start]
+            entries.append((rank, "D" + del_base, count))
+
+    entries.sort(key=lambda e: e[0])
+    alt_dict = {key: count for _, key, count in entries}
+    if ref_count > 0:
+        alt_dict["R" + _BASES[eff]] = ref_count
+    return depth, alt_dict
 
 
 def _flanked_ref(ref_seq: str, ref_seq_start: int, center: int, flank: int) -> str:
