@@ -188,7 +188,7 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 rediportal_path=None, output_no_tagging_path=None,
                 sample_name=None, cmd_line=None, compress=True,
                 known_vcf_positions=None, bed_regions=None, progress=True,
-                manifest_dir=None, resume=False, tasks=None):
+                manifest_dir=None, resume=False, tasks=None, bam=None):
     """Full pileup calling: plan chunks, build tensors, infer, decode, merge.
 
     params/forward default to a fresh random-init network (useful only for
@@ -210,7 +210,8 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
 
     from clair3_rna_tpu.pileup.chunk import open_bam
     fasta = FastaFile(ref_path)
-    bam = open_bam(bam_path)
+    if bam is None:  # callers making several passes should open once
+        bam = open_bam(bam_path)
     if tasks is None:
         tasks = plan_chunks(fasta, contigs=contigs,
                             chunk_size=chunk_size or config.CHUNK_SIZE)
@@ -233,7 +234,11 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             bed_regions=bed_regions, return_features=True)
         return out, time.time() - t0
 
-    prefetcher = ThreadPoolExecutor(max_workers=1)
+    # two workers keep two chunk builds in flight: the C++ tile builder and
+    # most numpy stages release the GIL, so a second build overlaps the main
+    # thread's decode work (and note build_s then counts overlapped
+    # thread-wall time, so it can exceed its wall-clock contribution)
+    prefetcher = ThreadPoolExecutor(max_workers=2)
     # cross-chunk batch accumulation: candidates stream into full
     # batch_size-sized device batches regardless of chunk boundaries (the
     # reference also streams a fixed batch across its whole tensor pipe,
@@ -306,10 +311,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             tasks = [t for t in tasks if t.ctg_name not in skip_ctgs]
 
     try:
-        futures = [prefetcher.submit(build_one, task) for task in tasks[:1]]
+        futures = [prefetcher.submit(build_one, task) for task in tasks[:2]]
         for i, task in enumerate(tasks):
-            if i + 1 < len(tasks):
-                futures.append(prefetcher.submit(build_one, tasks[i + 1]))
+            if i + 2 < len(tasks):
+                futures.append(prefetcher.submit(build_one, tasks[i + 2]))
             (records, feat, ref_seq, ref_lo), dt = futures[i].result()
             stats.build_s += dt
             if call_cfg.gvcf:

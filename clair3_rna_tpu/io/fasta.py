@@ -2,14 +2,18 @@
 cf. shared/utils.py:168-194)."""
 
 import os
+import threading
 
 
 class FastaFile:
-    """Indexed FASTA access. Builds the .fai on demand if absent."""
+    """Indexed FASTA access. Builds the .fai on demand if absent.
+
+    fetch() is thread-safe (concurrent chunk builders share one handle)."""
 
     def __init__(self, path: str):
         self.path = path
         self._fp = open(path, "rb")
+        self._lock = threading.Lock()
         fai_path = path + ".fai"
         if not os.path.exists(fai_path):
             build_fai(path, fai_path)
@@ -42,8 +46,9 @@ class FastaFile:
             return ""
         file_start = offset + (start // linebases) * linewidth + start % linebases
         file_end = offset + ((end - 1) // linebases) * linewidth + (end - 1) % linebases + 1
-        self._fp.seek(file_start)
-        raw = self._fp.read(file_end - file_start)
+        with self._lock:
+            self._fp.seek(file_start)
+            raw = self._fp.read(file_end - file_start)
         return raw.replace(b"\n", b"").replace(b"\r", b"").decode().upper()
 
 
