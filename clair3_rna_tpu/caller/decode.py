@@ -55,6 +55,7 @@ class CallConfig:
     keep_iupac_bases: bool = False
     haploid_precise: bool = False
     haploid_sensitive: bool = False
+    debug: bool = False                        # emit raw probability rows
     max_infer_variant_length: int = config.MAX_VARIANT_LENGTH
 
     @property
@@ -811,6 +812,17 @@ def decode_one(chromosome, position, reference_sequence, alt_info,
     if not call_cfg.keep_iupac_bases:
         reference_base = convert_iupac_to_n(reference_base)
         alternate_base = convert_iupac_to_n(alternate_base)
+
+    if call_cfg.debug:
+        # raw probability dump instead of the VCF row
+        # (clair3_rna/call_variants.py:273-290,1340-1349)
+        return "{}\t{}\t{}\t{}\t{}\t{}\t{}".format(
+            chromosome, position,
+            ["{:0.8f}".format(x) for x in gt21_probabilities],
+            ["{:0.8f}".format(x) for x in genotype_probabilities],
+            ["{:0.8f}".format(x) for x in (vl1 if vl1 is not None else [])],
+            ["{:0.8f}".format(x) for x in (vl2 if vl2 is not None else [])],
+            "Normal output" if not is_reference else "Reference")
 
     ad_alt = "," + ",".join(str(item) for item in alt_list_count)
     allele_depth = str(ref_count) + (ad_alt if len(alt_list_count) else "")

@@ -178,14 +178,15 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
 
     rediportal_path = args.readiportal_source_fn \
         if args.tag_variant_using_readiportal else None
-    output_path = os.path.join(args.output_dir, "output.vcf")
+    prefix = getattr(args, "output_prefix", None) or "output"
+    output_path = os.path.join(args.output_dir, prefix + ".vcf")
     outputs, stats = run_calling(
         args.bam_fn, args.ref_fn, output_path,
         cfg=cfg, call_cfg=call_cfg, params=params, forward=forward,
         contigs=contigs, chunk_size=args.chunk_size,
         rediportal_path=rediportal_path,
         output_no_tagging_path=os.path.join(
-            args.output_dir, "output_no_editing_tagging.vcf"),
+            args.output_dir, prefix + "_no_editing_tagging.vcf"),
         sample_name=args.sample_name,
         cmd_line=" ".join(os.sys.argv),
         compress=not args.no_compress,
@@ -198,6 +199,12 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
 
     if getattr(args, "enable_phasing_model", False):
         outputs += run_phasing_pass(args, cfg, call_cfg, contigs, outputs[0])
+    if getattr(args, "remove_intermediate_dir", False):
+        import shutil
+        tmp_dir = os.path.join(args.output_dir, "tmp")
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+            logger.info("[INFO] removed intermediate directory %s", tmp_dir)
     return outputs
 
 
@@ -220,7 +227,8 @@ def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
             batch_size=((phased_cfg.batch_size // dp) + 1) * dp)
     params, forward = load_model(args.phased_model_path, phased=True,
                                  mesh=mesh)
-    output_path = os.path.join(args.output_dir, "output_enable_phasing.vcf")
+    prefix = getattr(args, "output_prefix", None) or "output"
+    output_path = os.path.join(args.output_dir, prefix + "_enable_phasing.vcf")
     rediportal_path = args.readiportal_source_fn \
         if args.tag_variant_using_readiportal else None
     outputs, _ = run_calling(
@@ -229,7 +237,7 @@ def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
         contigs=contigs, chunk_size=args.chunk_size,
         rediportal_path=rediportal_path,
         output_no_tagging_path=os.path.join(
-            args.output_dir, "output_enable_phasing_no_editing_tagging.vcf"),
+            args.output_dir, prefix + "_no_tagging_enable_phasing.vcf"),
         sample_name=args.sample_name, compress=not args.no_compress)
     logger.info("[INFO] phasing-model calling finished: %s", ", ".join(outputs))
     return outputs

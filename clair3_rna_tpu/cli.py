@@ -34,8 +34,10 @@ def _add_call_parser(subparsers):
                    help="comma-separated contigs to call (default: all in BAM)")
     p.add_argument("--region", default=None, help="ctg:start-end region to call")
     p.add_argument("--bed_fn", default=None, help="call only inside these regions")
-    p.add_argument("--vcf_fn", default=None,
-                   help="known sites VCF: call genotypes at these sites only")
+    p.add_argument("-G", "--genotyping_mode_vcf_fn", "--vcf_fn",
+                   dest="vcf_fn", default=None,
+                   help="genotyping mode: call genotypes at the sites of this "
+                        "VCF only (run_clair3_rna --genotyping_mode_vcf_fn)")
     p.add_argument("--snp_min_af", type=float, default=config.SNP_MIN_AF)
     p.add_argument("--indel_min_af", type=float, default=config.INDEL_MIN_AF)
     p.add_argument("--min_coverage", type=int, default=config.MIN_COVERAGE)
@@ -67,6 +69,10 @@ def _add_call_parser(subparsers):
                    default=config.REDIPORTAL_FILTER_TAGS)
     p.add_argument("--include_all_ctgs", action="store_true")
     p.add_argument("--no_compress", action="store_true")
+    p.add_argument("--output_prefix", default="output",
+                   help="basename for the merged VCF outputs")
+    p.add_argument("--remove_intermediate_dir", action="store_true",
+                   help="delete <output_dir>/tmp after a successful run")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel width of the device mesh")
     p.add_argument("--no_device_mesh", action="store_true",
@@ -198,6 +204,9 @@ def _add_interop_parsers(subparsers):
     v.add_argument("--keep_iupac_bases", action="store_true")
     v.add_argument("--haploid_precise", action="store_true")
     v.add_argument("--haploid_sensitive", action="store_true")
+    v.add_argument("--debug", action="store_true",
+                   help="print raw probability rows instead of VCF rows "
+                        "(clair3_rna/call_variants.py --debug)")
     v.add_argument("--phased", action="store_true",
                    help="expect 30-channel phased tensors")
 
@@ -264,7 +273,8 @@ def _run_call_variants(args):
         enable_long_indel=args.enable_long_indel,
         keep_iupac_bases=args.keep_iupac_bases,
         haploid_precise=args.haploid_precise,
-        haploid_sensitive=args.haploid_sensitive)
+        haploid_sensitive=args.haploid_sensitive,
+        debug=args.debug)
     params, forward = load_model(args.model_path, phased=args.phased)
     in_stream = sys.stdin if args.tensor_fn in ("PIPE", "-") \
         else open(args.tensor_fn)

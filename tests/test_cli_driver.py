@@ -139,3 +139,47 @@ def test_phasing_accuracy(tmp_path):
     same = agree[(1, 1)] + agree[(2, 2)]
     flipped = agree[(1, 2)] + agree[(2, 1)]
     assert max(same, flipped) / total > 0.8, agree
+
+
+def test_cli_genotyping_alias_prefix_and_cleanup(tmp_path):
+    """-G alias, --output_prefix naming, --remove_intermediate_dir
+    (run_clair3_rna --genotyping_mode_vcf_fn/--output_prefix/
+    --remove_intermediate_dir equivalents)."""
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=21, contig_len=3000, n_variants=6, depth=30)
+    sites_path = str(tmp_path / "sites.vcf")
+    wanted = [v for v in variants["chr1"] if v.is_snp][:3]
+    with open(sites_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for v in wanted:
+            f.write(f"chr1\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\t.\n")
+    outdir = str(tmp_path / "out_g")
+    main(["call", "-B", bam, "-R", fasta, "-o", outdir,
+          "--include_all_ctgs", "--print_ref_calls",
+          "-G", sites_path, "--output_prefix", "geno",
+          "--remove_intermediate_dir"])
+    out = os.path.join(outdir, "geno.vcf.gz")
+    assert os.path.exists(out)
+    rows = _read_vcf_gz(out)
+    assert {int(r.split("\t")[1]) for r in rows} <= {v.pos + 1 for v in wanted}
+    assert not os.path.exists(os.path.join(outdir, "tmp"))
+
+
+def test_cli_call_variants_debug_rows(tmp_path, capsys):
+    """call_variants --debug emits probability rows, not VCF rows
+    (clair3_rna/call_variants.py:273-290)."""
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=22, contig_len=3000, n_variants=6, depth=30)
+    tensor_path = str(tmp_path / "tensors.tsv")
+    main(["create_tensor_pileup", "--bam_fn", bam, "--ref_fn", fasta,
+          "--ctg_name", "chr1", "--tensor_can_fn", tensor_path])
+    debug_path = str(tmp_path / "debug.out")
+    main(["call_variants", "--tensor_fn", tensor_path,
+          "--call_fn", debug_path, "--show_ref", "--debug"])
+    lines = [l for l in open(debug_path).read().splitlines() if l]
+    assert lines
+    for line in lines:
+        fields = line.split("\t")
+        assert fields[0] == "chr1"
+        assert fields[2].startswith("['")          # gt21 probability list
+        assert fields[-1] in ("Normal output", "Reference")
