@@ -46,6 +46,56 @@ def make_data(tmpdir):
     return fasta_path, bam_path
 
 
+WEIGHTS = os.path.join(REPO, "BENCH_WEIGHTS.npz")
+
+
+def get_trained_params():
+    """Trained weights for the bench (cached in BENCH_WEIGHTS.npz).
+
+    Random weights would defeat the homRef prescreen (no site is ever
+    'certainly reference' under near-uniform probabilities), forcing a host
+    decode of every candidate -- unrepresentative of production, where a
+    trained model lets ~95%+ of candidate sites skip decode. Trains once on
+    a synthetic dataset disjoint from the bench data (seed differs)."""
+    from clair3_rna_tpu.models.params_io import load_params
+
+    if os.path.exists(WEIGHTS):
+        return load_params(WEIGHTS)
+
+    import tempfile
+    from clair3_rna_tpu.cli import main as cli_main
+
+    print("[bench] training bench weights (one-time, cached)...",
+          file=sys.stderr)
+    with tempfile.TemporaryDirectory() as tdir:
+        from tests import simdata
+        from clair3_rna_tpu.io.fasta import write_fasta
+
+        rng = random.Random(777)
+        genome = simdata.random_genome(rng, [("chr1", 400_000)])
+        variants = simdata.plant_variants(rng, genome, n_per_contig=1200)
+        fasta_path = os.path.join(tdir, "ref.fa")
+        bam_path = os.path.join(tdir, "reads.bam")
+        truth_path = os.path.join(tdir, "truth.vcf")
+        write_fasta(fasta_path, genome)
+        simdata.simulate_bam(bam_path, genome, variants, rng, depth=35)
+        with open(truth_path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                    "FILTER\tINFO\tFORMAT\tSAMPLE\n")
+            for v in variants["chr1"]:
+                gt = "1/1" if v.genotype == (1, 1) else "0/1"
+                f.write(f"chr1\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS"
+                        f"\t.\tGT\t{gt}\n")
+        bins = os.path.join(tdir, "bins")
+        cli_main(["tensor2bin", "--bam_fn", bam_path, "--ref_fn", fasta_path,
+                  "--truth_vcf_fn", truth_path, "--output_dir", bins,
+                  "--non_variant_keep_fraction", "1.0"])
+        cli_main(["train", "--bin_dir", bins, "--output_fn", WEIGHTS,
+                  "--max_epochs", "40", "--batch_size", "256",
+                  "--no_indel_length"])
+    return load_params(WEIGHTS)
+
+
 def bench_ours(fasta_path, bam_path):
     """Time the actual product pipeline (run_calling): streaming chunks with
     host-build prefetch overlapping device inference, through to the sorted
@@ -68,7 +118,7 @@ def bench_ours(fasta_path, bam_path):
 
     cfg = PileupConfig(batch_size=2048)
     call_cfg = CallConfig(show_ref=False)
-    params = init_params(0)
+    params = get_trained_params()
     _, forward = make_forward_fn()
     # warm every batch bucket the pipeline can dispatch (full batch + the
     # power-of-two flush buckets); all compile once into the persistent cache
