@@ -58,6 +58,21 @@ class _EventsOut(ctypes.Structure):
     ]
 
 
+class _FinalizeOut(ctypes.Structure):
+    _fields_ = [
+        ("depth", ctypes.POINTER(ctypes.c_int32)),
+        ("covered", ctypes.POINTER(ctypes.c_uint8)),
+        ("ins_total", ctypes.POINTER(ctypes.c_int32)),
+        ("del_total", ctypes.POINTER(ctypes.c_int32)),
+        ("star_total", ctypes.POINTER(ctypes.c_int32)),
+        ("alt_count", ctypes.POINTER(ctypes.c_int32)),
+        ("ref_count", ctypes.POINTER(ctypes.c_int32)),
+        ("max_skip", ctypes.POINTER(ctypes.c_int32)),
+        ("eff_ref_code", ctypes.POINTER(ctypes.c_int8)),
+        ("cand_mask", ctypes.POINTER(ctypes.c_uint8)),
+    ]
+
+
 class _TileOut(ctypes.Structure):
     _fields_ = [
         ("width", ctypes.c_int64),
@@ -125,6 +140,12 @@ def get_library():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.free_tile_native.argtypes = [ctypes.POINTER(_TileOut)]
+        lib.finalize_tile_native.restype = ctypes.POINTER(_FinalizeOut)
+        lib.finalize_tile_native.argtypes = [
+            ctypes.POINTER(_TileOut), ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32]
+        lib.free_finalize_native.argtypes = [ctypes.POINTER(_FinalizeOut)]
         _lib = lib
     except Exception as exc:  # missing g++/zlib: fall back to Python
         _load_error = exc
@@ -216,12 +237,19 @@ class NativeBam:
         return events
 
 
-    def build_tile(self, contig: str, start: int, end: int, cfg):
-        """Native dense tile build -> (TileFeatures, SparseIndels).
+    def build_tile(self, contig: str, start: int, end: int, cfg,
+                   ref_codes: np.ndarray | None = None):
+        """Native dense tile build -> (tile dict, SparseIndels[, fin dict]).
 
         Produces exactly what pileup.builder.build_tile_features +
         SparseIndels.from_events produce from the Python extractor, but the
-        per-base accumulation runs in C++ (tests/test_native_events.py)."""
+        per-base accumulation runs in C++ (tests/test_native_events.py).
+
+        With ref_codes given, the per-position feature derivation, candidate
+        mask, and ref-channel negation also run in C++ (finalize_tile_native;
+        the Python equivalents are builder.finalize_features /
+        candidate_mask_from / negated_counts): the returned third value is a
+        dict of those arrays and tile['counts'] is ALREADY negated."""
         from clair3_rna_tpu.pileup import builder as pb
         from clair3_rna_tpu.pileup.chunk import ref_codes_from  # noqa: cycle-free
 
@@ -231,7 +259,31 @@ class NativeBam:
         out = out_ptr.contents
         width = end - start
         ch = out.n_channels
+        fin = None
+        fin_ptr = None
         try:
+            if ref_codes is not None:
+                codes_arr = np.ascontiguousarray(ref_codes, dtype=np.int8)
+                fast = cfg.platform == "ont" and cfg.fast_mode
+                fin_ptr = self._lib.finalize_tile_native(
+                    out_ptr,
+                    codes_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    float(cfg.effective_snp_af),
+                    float(cfg.effective_indel_min_af),
+                    int(cfg.min_coverage), int(fast), int(cfg.call_snp_only))
+                fo = fin_ptr.contents
+                fin = dict(
+                    depth=_copy(fo.depth, width, np.int32),
+                    covered=_copy(fo.covered, width, np.uint8).astype(bool),
+                    ins_total=_copy(fo.ins_total, width, np.int32),
+                    del_total=_copy(fo.del_total, width, np.int32),
+                    star_total=_copy(fo.star_total, width, np.int32),
+                    alt_count=_copy(fo.alt_count, width, np.int32),
+                    ref_count=_copy(fo.ref_count, width, np.int32),
+                    max_skip=_copy(fo.max_skip, width, np.int32),
+                    eff_ref_code=_copy(fo.eff_ref_code, width, np.int8),
+                    cand_mask=_copy(fo.cand_mask, width, np.uint8).astype(bool),
+                )
             counts = _copy(out.counts, width * ch, np.int32).reshape(width, ch)
             group_count = _copy(out.group_count, width * 6, np.int32).reshape(width, 6)
             group_rank = _copy(out.group_rank, width * 6, np.int64).reshape(width, 6)
@@ -257,7 +309,11 @@ class NativeBam:
                 _copy(out.del_len, out.n_del, np.int32),
             )
         finally:
+            if fin_ptr is not None:
+                self._lib.free_finalize_native(fin_ptr)
             self._lib.free_tile_native(out_ptr)
+        if ref_codes is not None:
+            return tile, indels, fin
         return tile, indels
 
 

@@ -907,6 +907,136 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
   return out;
 }
 
+// Per-position derived features + candidate mask (the C++ port of
+// pileup/builder.py finalize_features + candidate_mask_from +
+// negated_counts; differential-tested against the Python implementations by
+// tests/test_native_events.py). Negation is applied IN PLACE on t->counts,
+// so the returned counts are the emit-ready channel image
+// (src/create_tensor_pileup.py:296-297).
+struct FinalizeOut {
+  int32_t* depth;
+  uint8_t* covered;
+  int32_t* ins_total;
+  int32_t* del_total;
+  int32_t* star_total;
+  int32_t* alt_count;
+  int32_t* ref_count;
+  int32_t* max_skip;
+  int8_t* eff_ref_code;
+  uint8_t* cand_mask;
+};
+
+FinalizeOut* finalize_tile_native(TileOut* t, const int8_t* ref_codes,
+                                  double snp_af, double indel_af,
+                                  int32_t min_coverage, int32_t fast_mode,
+                                  int32_t call_snp_only) {
+  const int64_t width = t->width;
+  const int nch = t->n_channels;
+  auto* f = new FinalizeOut();
+  f->depth = static_cast<int32_t*>(malloc(width * 4 + 1));
+  f->covered = static_cast<uint8_t*>(malloc(width + 1));
+  f->ins_total = static_cast<int32_t*>(malloc(width * 4 + 1));
+  f->del_total = static_cast<int32_t*>(malloc(width * 4 + 1));
+  f->star_total = static_cast<int32_t*>(malloc(width * 4 + 1));
+  f->alt_count = static_cast<int32_t*>(malloc(width * 4 + 1));
+  f->ref_count = static_cast<int32_t*>(malloc(width * 4 + 1));
+  f->max_skip = static_cast<int32_t*>(malloc(width * 4 + 1));
+  f->eff_ref_code = static_cast<int8_t*>(malloc(width + 1));
+  f->cand_mask = static_cast<uint8_t*>(malloc(width + 1));
+
+  const bool zero_af = (snp_af == 0.0) || (indel_af == 0.0);
+  constexpr int64_t RANK_CAP = int64_t(1) << 31;
+
+  for (int64_t w = 0; w < width; ++w) {
+    const int32_t* gc = t->group_count + w * 6;
+    const int64_t* gr = t->group_rank + w * 6;
+    int32_t* cnt = t->counts + w * nch;
+
+    const int32_t ins_total = cnt[CH_I] + cnt[CH_i];
+    const int32_t del_total = cnt[CH_D] + cnt[CH_d];
+    const int32_t star_total = cnt[CH_STAR] + cnt[CH_HASH];
+    const int32_t base_total = gc[0] + gc[1] + gc[2] + gc[3];
+    const int32_t depth = base_total + star_total;
+    const int8_t rc = ref_codes[w];
+    const int8_t eff = rc >= 0 ? rc : 0;
+    const int32_t alt_count = base_total - gc[eff];
+    int64_t rcount = int64_t(depth) - (del_total + star_total) - ins_total
+                     - alt_count;
+    if (rcount < 0) rcount = 0;
+    int32_t ms = t->read_start_count[w];
+    if (t->read_end_count[w] > ms) ms = t->read_end_count[w];
+    if (t->skip_fwd_count[w] > ms) ms = t->skip_fwd_count[w];
+    if (t->skip_rev_count[w] > ms) ms = t->skip_rev_count[w];
+    const uint8_t covered = t->cover_count[w] > 0;
+
+    // pass_af (src/create_tensor_pileup.py:267-299,535-556); doubles match
+    // the Python float64 comparisons bit-for-bit
+    const double denom = depth > 0 ? double(depth) : 1.0;
+    bool pass_snp = false;
+    for (int code = 0; code < 4; ++code) {
+      if (code == eff) continue;
+      const int32_t nr = gc[code];
+      if (double(nr) / denom >= snp_af && (!fast_mode || nr >= 4)) {
+        pass_snp = true;
+        break;
+      }
+    }
+    const bool pass_indel = (double(ins_total) / denom >= indel_af)
+                            || (double(del_total) / denom >= indel_af);
+    // Counter-stable top group: maximize (count, -first_occurrence_rank)
+    int best = 0;
+    int64_t best_key = INT64_MIN;
+    for (int g = 0; g < 6; ++g) {
+      int64_t key = INT64_MIN;
+      if (gc[g] != 0) {
+        int64_t r = gr[g] < RANK_CAP ? gr[g] : RANK_CAP;
+        key = (int64_t(gc[g]) << 32) - r;
+      }
+      if (key > best_key) {
+        best_key = key;
+        best = g;
+      }
+    }
+    const bool pass_top = gc[best] > 0 && best != eff;
+    bool pass_af = call_snp_only ? pass_snp
+                                 : (pass_top || pass_snp || pass_indel);
+    if (zero_af) pass_af = pass_af || depth > 0;
+
+    f->depth[w] = depth;
+    f->covered[w] = covered;
+    f->ins_total[w] = ins_total;
+    f->del_total[w] = del_total;
+    f->star_total[w] = star_total;
+    f->alt_count[w] = alt_count;
+    f->ref_count[w] = static_cast<int32_t>(rcount);
+    f->max_skip[w] = ms;
+    f->eff_ref_code[w] = eff;
+    f->cand_mask[w] = covered && rc >= 0 && pass_af && depth >= min_coverage;
+
+    // ref-channel negation, in place, after the sums that read the originals
+    const int32_t fwd_sum = cnt[0] + cnt[1] + cnt[2] + cnt[3];
+    const int32_t rev_sum = cnt[9] + cnt[10] + cnt[11] + cnt[12];
+    cnt[eff] = -fwd_sum;
+    cnt[eff + 9] = -rev_sum;
+  }
+  return f;
+}
+
+void free_finalize_native(FinalizeOut* f) {
+  if (!f) return;
+  free(f->depth);
+  free(f->covered);
+  free(f->ins_total);
+  free(f->del_total);
+  free(f->star_total);
+  free(f->alt_count);
+  free(f->ref_count);
+  free(f->max_skip);
+  free(f->eff_ref_code);
+  free(f->cand_mask);
+  delete f;
+}
+
 void free_tile_native(TileOut* out) {
   if (!out) return;
   free(out->counts); free(out->group_count); free(out->group_rank);

@@ -51,6 +51,8 @@ class TileFeatures:
     max_skip: np.ndarray      # [L] max(read_start, read_end, skip_fwd, skip_rev)
     ref_code: np.ndarray      # [L] int8 true ref base code, -1 if not ACGT
     eff_ref_code: np.ndarray  # [L] int8 with non-ACGT mapped to A (evc_base_from)
+    counts_negated: bool = False  # True when counts is already the emit image
+                                  # (native finalize applied the negation)
 
 
 class TensorRecord:
@@ -407,6 +409,11 @@ def negated_counts(feat: TileFeatures) -> np.ndarray:
     """Apply the reference-channel negation trick
     (src/create_tensor_pileup.py:296-297): the ref base's fwd/rev channels are
     replaced by -(sum of fwd)/- (sum of rev) ACGT counts."""
+    if feat.counts_negated:
+        # native finalize already negated in place; counts has no other
+        # consumer, so returning it directly (including build_tensors'
+        # in-place splice-padding mutations on it) is safe
+        return feat.counts
     out = feat.counts.copy()
     width = out.shape[0]
     rows = np.arange(width)

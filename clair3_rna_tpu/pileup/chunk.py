@@ -91,14 +91,22 @@ def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
     ref_seq = fasta.fetch(task.ctg_name, ref_lo, ref_hi)
 
     codes = ref_codes_from(ref_seq[row_lo - ref_lo: row_hi - ref_lo])
+    fin = None
     if hasattr(bam, "build_tile"):
-        # native fast path: dense channel image accumulated in C++
-        tile, indels = bam.build_tile(task.ctg_name, row_lo, row_hi, cfg)
-        feat = builder.finalize_features(
-            row_lo, row_hi, tile["counts"], tile["group_count"],
-            tile["group_rank"], tile["max_del_length"], tile["cover_count"],
-            tile["read_start_count"], tile["read_end_count"],
-            tile["skip_fwd_count"], tile["skip_rev_count"], codes)
+        # native fast path: dense channel image, per-position feature
+        # derivation, candidate mask, and ref-channel negation all in C++
+        tile, indels, fin = bam.build_tile(task.ctg_name, row_lo, row_hi,
+                                           cfg, ref_codes=codes)
+        feat = builder.TileFeatures(
+            start=row_lo, end=row_hi, counts=tile["counts"],
+            depth=fin["depth"], covered=fin["covered"],
+            group_count=tile["group_count"], group_rank=tile["group_rank"],
+            ins_total=fin["ins_total"], del_total=fin["del_total"],
+            star_total=fin["star_total"], alt_count=fin["alt_count"],
+            ref_count=fin["ref_count"],
+            max_del_length=tile["max_del_length"], max_skip=fin["max_skip"],
+            ref_code=codes.astype(np.int8),
+            eff_ref_code=fin["eff_ref_code"], counts_negated=True)
     else:
         indels = extract_region_events(bam, task.ctg_name, row_lo, row_hi, cfg)
         feat = builder.build_tile_features(indels, codes, cfg)
@@ -111,11 +119,19 @@ def build_chunk_tensors(bam: BamReader, fasta: FastaFile, task: ChunkTask,
         bed_mask = bed_regions.overlaps(
             task.ctg_name, positions, positions + feat.max_del_length + 2)
 
-    mask = builder.candidate_mask_from(
-        feat, cfg, bed_mask=bed_mask,
-        known_positions=np.asarray(known_positions, dtype=np.int64)
-        if known_positions is not None else None,
-    )
+    if fin is not None and known_positions is None:
+        # native candidate mask; re-AND with covered (bed may have clipped
+        # it above) and the deletion-span bed test, as candidate_mask_from
+        # would
+        mask = fin["cand_mask"] & feat.covered
+        if bed_mask is not None:
+            mask &= bed_mask
+    else:
+        mask = builder.candidate_mask_from(
+            feat, cfg, bed_mask=bed_mask,
+            known_positions=np.asarray(known_positions, dtype=np.int64)
+            if known_positions is not None else None,
+        )
     records = builder.build_tensors(
         indels, feat, cfg, task.ctg_name, ref_seq, ref_lo, mask,
     )

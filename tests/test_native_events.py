@@ -64,3 +64,37 @@ def test_native_chunk_tensors_identical(tmp_path):
                                                 task, cfg)]
     assert rows_py == rows_native
     assert len(rows_py) > 5
+
+
+def test_native_finalize_matches_python(tmp_path):
+    """finalize_tile_native == finalize_features + candidate_mask_from +
+    negated_counts, field by field."""
+    native = _native()
+    from clair3_rna_tpu.pileup import builder
+    from clair3_rna_tpu.pileup.chunk import ref_codes_from
+
+    fasta, bam_path, genome, variants = simdata.make_dataset(
+        tmp_path, seed=11, contig_len=8000, depth=25, splice=True)
+    cfg = PileupConfig()
+    fa = FastaFile(fasta)
+    ref_seq = fa.fetch("chr1", 0, 8000)
+    codes = ref_codes_from(ref_seq)
+    nb = native.NativeBam(bam_path)
+
+    tile, indels = nb.build_tile("chr1", 0, 8000, cfg)
+    feat_py = builder.finalize_features(
+        0, 8000, tile["counts"], tile["group_count"], tile["group_rank"],
+        tile["max_del_length"], tile["cover_count"],
+        tile["read_start_count"], tile["read_end_count"],
+        tile["skip_fwd_count"], tile["skip_rev_count"], codes)
+    mask_py = builder.candidate_mask_from(feat_py, cfg)
+    image_py = builder.negated_counts(feat_py)
+
+    tile2, _, fin = nb.build_tile("chr1", 0, 8000, cfg, ref_codes=codes)
+    for field in ("depth", "covered", "ins_total", "del_total", "star_total",
+                  "alt_count", "ref_count", "max_skip", "eff_ref_code"):
+        np.testing.assert_array_equal(fin[field], getattr(feat_py, field),
+                                      err_msg=field)
+    np.testing.assert_array_equal(fin["cand_mask"], mask_py)
+    np.testing.assert_array_equal(tile2["counts"], image_py)
+    assert mask_py.sum() > 5
