@@ -185,6 +185,55 @@ def _add_interop_parsers(subparsers):
     t.add_argument("--enable_padding_in_splice_junction_regions",
                    action="store_true")
 
+    b = subparsers.add_parser(
+        "call_var_bam",
+        help="call one contig/chunk BAM region to a per-chunk VCF "
+             "(clair3_rna/call_var_bam.py process equivalent, in-process)")
+    b.add_argument("--bam_fn", required=True)
+    b.add_argument("--ref_fn", required=True)
+    b.add_argument("--chkpnt_fn", "--model_path", dest="model_path",
+                   default=None, help=".npz weights or TF checkpoint prefix")
+    b.add_argument("--call_fn", default="PIPE",
+                   help="per-chunk VCF output path (e.g. pileup_chr1_3.vcf), "
+                        "or PIPE for stdout")
+    b.add_argument("--ctgName", "--ctg_name", dest="ctg_name", default=None)
+    b.add_argument("--ctgStart", dest="ctg_start", type=int, default=None,
+                   help="1-based inclusive region start")
+    b.add_argument("--ctgEnd", dest="ctg_end", type=int, default=None,
+                   help="1-based inclusive region end")
+    b.add_argument("--chunk_id", type=int, default=None, help="1-based")
+    b.add_argument("--chunk_num", type=int, default=None)
+    b.add_argument("--bed_fn", default=None)
+    b.add_argument("--vcf_fn", default=None, help="known-site genotyping list")
+    b.add_argument("--platform", default="ont_dorado_drna004")
+    b.add_argument("--sampleName", "--sample_name", dest="sample_name",
+                   default="SAMPLE")
+    b.add_argument("--batch_size", type=int, default=2048)
+    b.add_argument("--snp_min_af", type=float, default=config.SNP_MIN_AF)
+    b.add_argument("--indel_min_af", type=float, default=config.INDEL_MIN_AF)
+    b.add_argument("--minCoverage", "--min_coverage", dest="min_coverage",
+                   type=int, default=config.MIN_COVERAGE)
+    b.add_argument("--minMQ", "--min_mq", dest="min_mq", type=int,
+                   default=config.MIN_MQ)
+    b.add_argument("--minBQ", "--min_bq", dest="min_bq", type=int,
+                   default=config.MIN_BQ)
+    b.add_argument("--fast_mode", action="store_true")
+    b.add_argument("--call_snp_only", action="store_true")
+    b.add_argument("--show_ref", "--showRef", dest="show_ref",
+                   action="store_true")
+    b.add_argument("--qual", type=float, default=None)
+    b.add_argument("--enable_long_indel", action="store_true")
+    b.add_argument("--keep_iupac_bases", action="store_true")
+    b.add_argument("--haploid_precise", action="store_true")
+    b.add_argument("--haploid_sensitive", action="store_true")
+    b.add_argument("--phasing_info_in_bam", "--phased", dest="phased",
+                   action="store_true",
+                   help="30-channel phased tensors from an HP-tagged BAM")
+    b.add_argument("--enable_variant_calling_at_sequence_head_and_tail",
+                   action="store_true")
+    b.add_argument("--enable_padding_in_splice_junction_regions",
+                   action="store_true")
+
     v = subparsers.add_parser(
         "call_variants",
         help="tensor TSV in (stdin or file), VCF rows out "
@@ -255,6 +304,97 @@ def _run_create_tensor(args):
         if owns:
             out.close()
     print(f"[INFO] wrote {n} tensor rows", file=sys.stderr)
+
+
+def _run_call_var_bam(args):
+    """One (contig, chunk) BAM region -> per-chunk VCF, in-process.
+
+    The reference's call_var_bam (clair3_rna/call_var_bam.py:88-333) spawns a
+    pypy tensor builder piped into a python caller; here the same unit of work
+    (one chunk of one contig, addressed by --chunk_id/--chunk_num or
+    --ctgStart/--ctgEnd) runs as a single in-process chain so external
+    GNU-parallel style drivers can still fan out per-chunk workers."""
+    import sys
+    from clair3_rna_tpu.caller.decode import CallConfig
+    from clair3_rna_tpu.caller.driver import load_model
+    from clair3_rna_tpu.caller.pipeline import call_tensor_records
+    from clair3_rna_tpu.caller.tsv_interop import open_maybe_stdout
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.io.bed import BedRegions
+    from clair3_rna_tpu.io.fasta import FastaFile
+    from clair3_rna_tpu.io.vcf import VcfReader, vcf_header
+    from clair3_rna_tpu.pileup.chunk import (ChunkTask, build_chunk_tensors,
+                                             open_bam)
+
+    full_platform = config.PLATFORM_ALIASES.get(args.platform, args.platform)
+    cfg = PileupConfig.for_platform(
+        full_platform,
+        min_mq=args.min_mq, min_bq=args.min_bq,
+        min_coverage=args.min_coverage,
+        snp_min_af=args.snp_min_af, indel_min_af=args.indel_min_af,
+        fast_mode=args.fast_mode, call_snp_only=args.call_snp_only,
+        phased=args.phased, show_ref=args.show_ref,
+        enable_head_tail=args.enable_variant_calling_at_sequence_head_and_tail,
+        enable_splice_padding=args.enable_padding_in_splice_junction_regions,
+        sample_name=args.sample_name, batch_size=args.batch_size)
+    call_cfg = CallConfig(
+        show_ref=args.show_ref, qual=args.qual,
+        enable_long_indel=args.enable_long_indel,
+        keep_iupac_bases=args.keep_iupac_bases,
+        haploid_precise=args.haploid_precise,
+        haploid_sensitive=args.haploid_sensitive)
+
+    fasta = FastaFile(args.ref_fn)
+    bam = open_bam(args.bam_fn)
+    if args.ctg_start is not None or args.ctg_end is not None:
+        if not args.ctg_name or args.ctg_start is None or args.ctg_end is None:
+            raise SystemExit("[ERROR] --ctgStart/--ctgEnd need --ctgName and "
+                             "both bounds")
+        tasks = [ChunkTask(args.ctg_name, max(args.ctg_start - 1, 0),
+                           args.ctg_end)]
+    else:
+        contigs = [args.ctg_name] if args.ctg_name else \
+            [c for c in fasta.contigs if c in bam.ref_index]
+        tasks = []
+        for ctg in contigs:
+            length = fasta.contig_length(ctg)
+            if args.chunk_id is not None:
+                # same 1-based chunk addressing as the reference builder
+                # (src/create_tensor_pileup.py:356-360)
+                n = args.chunk_num or max(1, -(-length // config.CHUNK_SIZE))
+                per = length // n + (1 if length % n else 0)
+                lo = per * (args.chunk_id - 1)
+                tasks.append(ChunkTask(ctg, lo, min(lo + per, length)))
+            else:
+                tasks.append(ChunkTask(ctg, 0, length))
+
+    bed_regions = BedRegions.from_file(args.bed_fn) if args.bed_fn else None
+    known_positions = None
+    if args.vcf_fn:
+        known_positions = {}
+        for (ctg, pos) in VcfReader(args.vcf_fn).variant_dict:
+            known_positions.setdefault(ctg, []).append(pos - 1)
+
+    params, forward = load_model(args.model_path, phased=args.phased)
+    out, owns = open_maybe_stdout(args.call_fn)
+    n_rows = 0
+    try:
+        out.write(vcf_header(args.ref_fn,
+                             sample_name=args.sample_name).rstrip("\n") + "\n")
+        for task in tasks:
+            records = build_chunk_tensors(
+                bam, fasta, task, cfg,
+                known_positions=known_positions.get(task.ctg_name)
+                if known_positions else None,
+                bed_regions=bed_regions)
+            for row in call_tensor_records(records, forward, params, cfg,
+                                           call_cfg):
+                out.write(row + "\n")
+                n_rows += 1
+    finally:
+        if owns:
+            out.close()
+    print(f"[INFO] wrote {n_rows} VCF rows", file=sys.stderr)
 
 
 def _run_call_variants(args):
@@ -372,6 +512,8 @@ def main(argv=None):
             return _run_merge_shards(args)
         if args.command == "create_tensor_pileup":
             return _run_create_tensor(args)
+        if args.command == "call_var_bam":
+            return _run_call_var_bam(args)
         if args.command == "call_variants":
             return _run_call_variants(args)
         from clair3_rna_tpu.evaluation.cli_tools import dispatch_tool

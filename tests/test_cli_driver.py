@@ -183,3 +183,44 @@ def test_cli_call_variants_debug_rows(tmp_path, capsys):
         assert fields[0] == "chr1"
         assert fields[2].startswith("['")          # gt21 probability list
         assert fields[-1] in ("Normal output", "Reference")
+
+
+def test_cli_call_var_bam_chunks_match_call(tmp_path):
+    """call_var_bam per-chunk workers + sort_vcf == the in-process `call`
+    driver (clair3_rna/call_var_bam.py:88-333 fan-out equivalence)."""
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=23, contig_len=4000, n_variants=8, depth=30)
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    for chunk_id in (1, 2):
+        main(["call_var_bam", "--bam_fn", bam, "--ref_fn", fasta,
+              "--ctgName", "chr1", "--chunk_id", str(chunk_id),
+              "--chunk_num", "2", "--show_ref",
+              "--call_fn", str(chunk_dir / f"pileup_chr1_{chunk_id}.vcf")])
+    merged = str(tmp_path / "merged.vcf")
+    main(["sort_vcf", "--input_dir", str(chunk_dir), "--output_fn", merged,
+          "--ref_fn", fasta, "--show_ref", "--no_compress", "--qual", "8"])
+    chunk_rows = [l for l in open(merged).read().splitlines()
+                  if l and not l.startswith("#")]
+
+    outdir = str(tmp_path / "out")
+    main(["call", "-B", bam, "-R", fasta, "-o", outdir,
+          "--include_all_ctgs", "--print_ref_calls", "--chunk_size", "2000"])
+    call_rows = _read_vcf_gz(os.path.join(outdir, "output.vcf.gz"))
+    assert chunk_rows == call_rows
+
+
+def test_cli_call_var_bam_region(tmp_path):
+    """--ctgStart/--ctgEnd restrict the called region (1-based inclusive)."""
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=24, contig_len=3000, n_variants=6, depth=30)
+    out = str(tmp_path / "region.vcf")
+    main(["call_var_bam", "--bam_fn", bam, "--ref_fn", fasta,
+          "--ctgName", "chr1", "--ctgStart", "1001", "--ctgEnd", "2000",
+          "--show_ref", "--call_fn", out])
+    rows = [l for l in open(out).read().splitlines()
+            if l and not l.startswith("#")]
+    assert rows
+    for r in rows:
+        pos = int(r.split("\t")[1])
+        assert 960 <= pos <= 2040, r
