@@ -26,9 +26,11 @@ def _add_call_parser(subparsers):
                         f"({', '.join(sorted(config.SUPPORTED_FULL_PLATFORMS))})")
     p.add_argument("-t", "--threads", type=int, default=os.cpu_count(),
                    help="host worker threads for extraction")
-    p.add_argument("--model_path", default=None,
+    p.add_argument("--model_path", "--pileup_model_path",
+                   dest="model_path", default=None,
                    help=".npz weights or reference TF checkpoint prefix")
-    p.add_argument("--phased_model_path", default=None,
+    p.add_argument("--phased_model_path", "--phased_pileup_model_path",
+                   dest="phased_model_path", default=None,
                    help="weights for the phasing (30-channel) pass")
     p.add_argument("--ctg_name", default=None,
                    help="comma-separated contigs to call (default: all in BAM)")
@@ -65,6 +67,12 @@ def _add_call_parser(subparsers):
     p.add_argument("--haploid_sensitive", action="store_true")
     p.add_argument("--tag_variant_using_readiportal", action="store_true")
     p.add_argument("--readiportal_source_fn", default=None)
+    p.add_argument("--readiportal_reference_genome_version", default=None,
+                   choices=["grch38", "grch37"],
+                   help="pick the bundled REDIportal table when "
+                        "--readiportal_source_fn is not given "
+                        "(run_clair3_rna:497-515; table dir from "
+                        "$CLAIR3_RNA_TPU_MODELS_DIR)")
     p.add_argument("--readiportal_database_filter_tag",
                    default=config.REDIPORTAL_FILTER_TAGS)
     p.add_argument("--include_all_ctgs", action="store_true")
@@ -113,6 +121,21 @@ def run_call(args):
     if full_platform not in config.SUPPORTED_FULL_PLATFORMS \
             and full_platform not in config.SUPPORTED_PLATFORMS:
         raise SystemExit(f"[ERROR] unsupported platform {args.platform}")
+
+    if args.tag_variant_using_readiportal and args.readiportal_source_fn is None:
+        # bundled-table resolution by genome build (run_clair3_rna:497-515);
+        # the table directory comes from $CLAIR3_RNA_TPU_MODELS_DIR instead of
+        # a conda prefix
+        version = args.readiportal_reference_genome_version or "grch38"
+        table = "TABLE1_hg38.txt.gz" if version == "grch38" \
+            else "TABLE1_hg19.txt.gz"
+        models_dir = os.environ.get("CLAIR3_RNA_TPU_MODELS_DIR")
+        candidate = os.path.join(models_dir, table) if models_dir else None
+        if candidate is None or not os.path.exists(candidate):
+            raise SystemExit(
+                f"[ERROR] REDIportal table {table} not found; pass "
+                "--readiportal_source_fn or set $CLAIR3_RNA_TPU_MODELS_DIR")
+        args.readiportal_source_fn = candidate
 
     cfg = PileupConfig.for_platform(
         full_platform,

@@ -224,3 +224,40 @@ def test_cli_call_var_bam_region(tmp_path):
     for r in rows:
         pos = int(r.split("\t")[1])
         assert 960 <= pos <= 2040, r
+
+
+def test_cli_rediportal_bundled_table(tmp_path, monkeypatch):
+    """--readiportal_reference_genome_version resolves the bundled table from
+    $CLAIR3_RNA_TPU_MODELS_DIR (run_clair3_rna:497-515) and tags matching
+    rows RNAEditing with an untagged twin output."""
+    import gzip
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=25, contig_len=3000, n_variants=6, depth=30)
+    outdir = str(tmp_path / "plain")
+    main(["call", "-B", bam, "-R", fasta, "-o", outdir,
+          "--include_all_ctgs", "--print_ref_calls"])
+    rows = _read_vcf_gz(os.path.join(outdir, "output.vcf.gz"))
+    target = next(r for r in rows
+                  if r.split("\t")[4] not in (".", r.split("\t")[3]))
+    ctg, pos, _, ref, alt = target.split("\t")[:5]
+
+    models_dir = tmp_path / "models"
+    models_dir.mkdir()
+    with gzip.open(models_dir / "TABLE1_hg38.txt.gz", "wt") as f:
+        f.write("Region\tPosition\tRef\tEd\tStrand\tdb\n")
+        f.write(f"{ctg}\t{pos}\t{ref}\t{alt}\t+\tA,D\n")
+    monkeypatch.setenv("CLAIR3_RNA_TPU_MODELS_DIR", str(models_dir))
+
+    outdir2 = str(tmp_path / "tagged")
+    main(["call", "-B", bam, "-R", fasta, "-o", outdir2,
+          "--include_all_ctgs", "--print_ref_calls",
+          "--tag_variant_using_readiportal"])
+    tagged = _read_vcf_gz(os.path.join(outdir2, "output.vcf.gz"))
+    hit = [r for r in tagged if r.split("\t")[1] == pos]
+    assert hit and hit[0].split("\t")[6] == "RNAEditing"
+    untagged_path = os.path.join(outdir2, "output_no_editing_tagging.vcf.gz")
+    assert os.path.exists(untagged_path)
+    untagged = _read_vcf_gz(untagged_path)
+    uhit = [r for r in untagged if r.split("\t")[1] == pos]
+    assert uhit and uhit[0].split("\t")[6] != "RNAEditing"
