@@ -57,6 +57,11 @@ class CallConfig:
     haploid_sensitive: bool = False
     debug: bool = False                        # emit raw probability rows
     max_infer_variant_length: int = config.MAX_VARIANT_LENGTH
+    # GVCF block construction knobs (clair3_rna/call_var_bam.py --base_err /
+    # --gq_bin_size / --bp_resolution)
+    gvcf_p_err: float = 0.001
+    gvcf_gq_bin_size: int = 5
+    gvcf_bp_resolution: bool = False
 
     @property
     def maximum_variant_length_that_need_infer(self):

@@ -320,7 +320,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             if call_cfg.gvcf:
                 from clair3_rna_tpu.gvcf import NonVariantAccumulator
                 from clair3_rna_tpu.pileup.chunk import gvcf_site_arrays
-                acc = NonVariantAccumulator()
+                acc = NonVariantAccumulator(
+                    p_err=call_cfg.gvcf_p_err,
+                    gq_bin_size=call_cfg.gvcf_gq_bin_size,
+                    bp_resolution=call_cfg.gvcf_bp_resolution)
                 sites = gvcf_site_arrays(feat, task, ref_seq, ref_lo)
                 if sites is None:
                     acc.push_empty_region(task.ctg_name, task.start + 1,

@@ -53,6 +53,13 @@ def _add_call_parser(subparsers):
     p.add_argument("--print_ref_calls", action="store_true",
                    help="show reference calls (RefCall) in VCF")
     p.add_argument("--gvcf", action="store_true", help="also produce GVCF output")
+    p.add_argument("--base_err", type=float, default=config.BASE_ERR,
+                   help="assumed per-base error for GVCF reference "
+                        "likelihoods (shared/param_p.py:26)")
+    p.add_argument("--gq_bin_size", type=int, default=config.GQ_BIN_SIZE,
+                   help="GQ bin width for GVCF non-variant blocks")
+    p.add_argument("--bp_resolution", action="store_true",
+                   help="emit per-base GVCF records instead of blocks")
     p.add_argument("--fast_mode", action="store_true")
     p.add_argument("--call_snp_only", action="store_true")
     p.add_argument("--enable_phasing_model", action="store_true",
@@ -157,6 +164,9 @@ def run_call(args):
         keep_iupac_bases=args.keep_iupac_bases,
         haploid_precise=args.haploid_precise,
         haploid_sensitive=args.haploid_sensitive,
+        gvcf_p_err=args.base_err,
+        gvcf_gq_bin_size=args.gq_bin_size,
+        gvcf_bp_resolution=args.bp_resolution,
     )
     return run_full_calling(args, cfg, call_cfg)
 

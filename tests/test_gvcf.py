@@ -113,3 +113,35 @@ def test_gvcf_pipeline_output(tmp_path):
             var_end = pos + len(cols[3]) - 1
             for s, e in spans:
                 assert not (s <= pos <= e or s <= var_end <= e), (l, (s, e))
+
+
+def test_gvcf_bp_resolution(tmp_path):
+    """--bp_resolution emits per-base non-variant records (call_var_bam
+    --bp_resolution, src/utils.py:607): every covered reference base becomes
+    its own <NON_REF> row instead of a GQ-binned block."""
+    import re
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.caller.decode import CallConfig
+    from clair3_rna_tpu.caller.pipeline import run_calling
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=32, contig_len=3000, n_variants=4, depth=25)
+    cfgs = {
+        "block": CallConfig(gvcf=True),
+        "bp": CallConfig(gvcf=True, gvcf_bp_resolution=True),
+    }
+    bodies = {}
+    for name, call_cfg in cfgs.items():
+        out_path = str(tmp_path / f"{name}.vcf")
+        outputs, _ = run_calling(
+            bam, fasta, out_path, cfg=PileupConfig(batch_size=64),
+            call_cfg=call_cfg, compress=False, progress=False)
+        gvcf = next(p for p in outputs if p.endswith(".g.vcf"))
+        bodies[name] = [l for l in open(gvcf) if not l.startswith("#")]
+    blocks = [l for l in bodies["block"] if l.split("\t")[4] == "<NON_REF>"]
+    per_base = [l for l in bodies["bp"] if l.split("\t")[4] == "<NON_REF>"]
+    assert len(per_base) > len(blocks) * 3
+    for l in per_base:
+        cols = l.split("\t")
+        end = int(re.search(r"END=(\d+)", cols[7]).group(1))
+        assert end == int(cols[1]), l
