@@ -104,10 +104,26 @@ class TensorRecord:
         return f"{self.ctg_name}\t{self.position}\t{self.ref_seq}\t{flat}\t{self.alt_info}"
 
 
+def _pileup_backend():
+    """Channel-count accumulation backend for the pure-array builder path:
+    'host' (numpy bincount, default), 'device' (XLA segment-sum), or
+    'pallas' (the MXU one-hot-matmul kernel on TPU). The native C++ tile
+    builder bypasses this entirely; on a tunnel-attached chip the device
+    paths are transfer-bound (see ops/pileup_kernel.pileup_counts), so this
+    is for TPU-resident pipelines and differential testing."""
+    import os
+    return os.environ.get("CLAIR3_RNA_TPU_PILEUP_BACKEND", "host")
+
+
 def _scatter_count(pos, extra_idx, width, n_extra):
     """bincount positions x small-index into a [width, n_extra] int32 image."""
     if len(pos) == 0:
         return np.zeros((width, n_extra), dtype=np.int32)
+    backend = _pileup_backend()
+    if backend in ("device", "pallas"):
+        from clair3_rna_tpu.ops.pileup_kernel import pileup_counts
+        return pileup_counts(pos, extra_idx, width, n_extra,
+                             use_pallas=backend == "pallas")
     linear = pos.astype(np.int64) * n_extra + extra_idx
     return np.bincount(linear, minlength=width * n_extra).reshape(width, n_extra).astype(np.int32)
 

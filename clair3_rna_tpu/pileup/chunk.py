@@ -59,7 +59,15 @@ def extract_region_events(bam, contig, start, end, cfg: PileupConfig):
 
 
 def open_bam(path: str, prefer_native: bool = True):
-    """Open a BAM with the native decoder when available."""
+    """Open a BAM with the native decoder when available.
+
+    CLAIR3_RNA_TPU_NO_NATIVE=1 forces the pure-Python/array path (whose
+    channel accumulation backend is then selectable via
+    CLAIR3_RNA_TPU_PILEUP_BACKEND=host|device|pallas, see pileup/builder.py).
+    """
+    import os
+    if os.environ.get("CLAIR3_RNA_TPU_NO_NATIVE"):
+        prefer_native = False
     if prefer_native:
         try:
             from clair3_rna_tpu.native import NativeBam, native_available

@@ -48,3 +48,30 @@ def test_pallas_interpret_uneven_density():
     chan = rng.randint(0, 18, size=9000).astype(np.int32)
     got = pk.pileup_counts_pallas(pos, chan, length, interpret=True)
     np.testing.assert_array_equal(got, _oracle(pos, chan, length))
+
+
+def test_builder_device_backend_byte_identical(tmp_path, monkeypatch):
+    """CLAIR3_RNA_TPU_PILEUP_BACKEND=device routes the builder's channel
+    accumulation through the device kernel dispatch and must produce
+    byte-identical tensor rows to the host bincount path."""
+    from tests import simdata
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.io.fasta import FastaFile
+    from clair3_rna_tpu.pileup.chunk import (ChunkTask, build_chunk_tensors,
+                                             open_bam)
+
+    fasta, bam_path, genome, variants = simdata.make_dataset(
+        tmp_path, seed=33, contig_len=2500, n_variants=6, depth=25)
+    fa = FastaFile(fasta)
+    cfg = PileupConfig()
+    task = ChunkTask("chr1", 0, 2500)
+
+    # pure-array path (prefer_native=False) so _scatter_count is exercised
+    bam = open_bam(bam_path, prefer_native=False)
+    monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
+    host_rows = [r.to_reference_row()
+                 for r in build_chunk_tensors(bam, fa, task, cfg)]
+    monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", "device")
+    device_rows = [r.to_reference_row()
+                   for r in build_chunk_tensors(bam, fa, task, cfg)]
+    assert host_rows and host_rows == device_rows
