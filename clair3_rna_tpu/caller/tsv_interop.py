@@ -27,7 +27,7 @@ def write_tensor_rows(bam_path, ref_path, out_stream, *, cfg: PileupConfig,
     """
     from clair3_rna_tpu.io.fasta import FastaFile
     from clair3_rna_tpu.pileup.chunk import (ChunkTask, build_chunk_tensors,
-                                             open_bam)
+                                             open_bam, tasks_for_chunk_args)
 
     fasta = FastaFile(ref_path)
     bam = open_bam(bam_path)
@@ -35,18 +35,8 @@ def write_tensor_rows(bam_path, ref_path, out_stream, *, cfg: PileupConfig,
         ctg, lo_hi = region
         tasks = [ChunkTask(ctg, lo_hi[0], lo_hi[1])]
     else:
-        contigs = [ctg_name] if ctg_name else \
-            [c for c in fasta.contigs if c in bam.ref_index]
-        tasks = []
-        for ctg in contigs:
-            length = fasta.contig_length(ctg)
-            if chunk_id is not None:
-                n = chunk_num or max(1, -(-length // config.CHUNK_SIZE))
-                per = length // n + (1 if length % n else 0)
-                lo = per * (chunk_id - 1)
-                tasks.append(ChunkTask(ctg, lo, min(lo + per, length)))
-            else:
-                tasks.append(ChunkTask(ctg, 0, length))
+        tasks = tasks_for_chunk_args(fasta, bam, ctg_name=ctg_name,
+                                     chunk_id=chunk_id, chunk_num=chunk_num)
 
     n_rows = 0
     for task in tasks:

@@ -357,7 +357,7 @@ def _run_call_var_bam(args):
     from clair3_rna_tpu.io.fasta import FastaFile
     from clair3_rna_tpu.io.vcf import VcfReader, vcf_header
     from clair3_rna_tpu.pileup.chunk import (ChunkTask, build_chunk_tensors,
-                                             open_bam)
+                                             open_bam, tasks_for_chunk_args)
 
     full_platform = config.PLATFORM_ALIASES.get(args.platform, args.platform)
     cfg = PileupConfig.for_platform(
@@ -386,20 +386,9 @@ def _run_call_var_bam(args):
         tasks = [ChunkTask(args.ctg_name, max(args.ctg_start - 1, 0),
                            args.ctg_end)]
     else:
-        contigs = [args.ctg_name] if args.ctg_name else \
-            [c for c in fasta.contigs if c in bam.ref_index]
-        tasks = []
-        for ctg in contigs:
-            length = fasta.contig_length(ctg)
-            if args.chunk_id is not None:
-                # same 1-based chunk addressing as the reference builder
-                # (src/create_tensor_pileup.py:356-360)
-                n = args.chunk_num or max(1, -(-length // config.CHUNK_SIZE))
-                per = length // n + (1 if length % n else 0)
-                lo = per * (args.chunk_id - 1)
-                tasks.append(ChunkTask(ctg, lo, min(lo + per, length)))
-            else:
-                tasks.append(ChunkTask(ctg, 0, length))
+        tasks = tasks_for_chunk_args(fasta, bam, ctg_name=args.ctg_name,
+                                     chunk_id=args.chunk_id,
+                                     chunk_num=args.chunk_num)
 
     bed_regions = BedRegions.from_file(args.bed_fn) if args.bed_fn else None
     known_positions = None

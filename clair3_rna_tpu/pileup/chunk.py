@@ -42,6 +42,26 @@ def plan_chunks(fasta: FastaFile, contigs=None, chunk_size=config.CHUNK_SIZE):
     return tasks
 
 
+def tasks_for_chunk_args(fasta: FastaFile, bam, ctg_name=None, chunk_id=None,
+                         chunk_num=None):
+    """ChunkTasks from the reference's per-worker addressing: 1-based
+    --chunk_id of --chunk_num equal slices per contig
+    (src/create_tensor_pileup.py:356-360), whole contig(s) otherwise."""
+    contigs = [ctg_name] if ctg_name else \
+        [c for c in fasta.contigs if c in bam.ref_index]
+    tasks = []
+    for ctg in contigs:
+        length = fasta.contig_length(ctg)
+        if chunk_id is not None:
+            n = chunk_num or max(1, -(-length // config.CHUNK_SIZE))
+            per = length // n + (1 if length % n else 0)
+            lo = per * (chunk_id - 1)
+            tasks.append(ChunkTask(ctg, lo, min(lo + per, length)))
+        else:
+            tasks.append(ChunkTask(ctg, 0, length))
+    return tasks
+
+
 def ref_codes_from(seq: str) -> np.ndarray:
     return _CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
 
