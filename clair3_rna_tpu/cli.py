@@ -452,6 +452,26 @@ def _run_call_variants(args):
     print(f"[INFO] wrote {n} VCF rows", file=sys.stderr)
 
 
+def _add_index_parser(subparsers):
+    p = subparsers.add_parser(
+        "index",
+        help="build a BAI index for a coordinate-sorted BAM "
+             "(samtools-index equivalent; enables bounded-memory region "
+             "access for whole-genome inputs)")
+    p.add_argument("bam_fn", help="coordinate-sorted BAM to index")
+    p.add_argument("-o", "--output_fn", default=None,
+                   help="index output path (default: <bam>.bai)")
+    return p
+
+
+def _run_index(args):
+    from clair3_rna_tpu.io.bai import build_index
+
+    out = args.output_fn or args.bam_fn + ".bai"
+    build_index(args.bam_fn, out)
+    print(f"[INFO] wrote {out}")
+
+
 def _add_sort_parser(subparsers):
     p = subparsers.add_parser("sort_vcf", help="merge/sort per-chunk VCFs")
     p.add_argument("--input_dir", required=True)
@@ -518,6 +538,7 @@ def main(argv=None):
     subparsers = parser.add_subparsers(dest="command")
     _add_call_parser(subparsers)
     _add_sort_parser(subparsers)
+    _add_index_parser(subparsers)
     _add_interop_parsers(subparsers)
     from clair3_rna_tpu.evaluation.cli_tools import add_tool_parsers
     from clair3_rna_tpu.train.cli_tools import add_train_parsers
@@ -538,6 +559,8 @@ def main(argv=None):
             return _run_call_var_bam(args)
         if args.command == "call_variants":
             return _run_call_variants(args)
+        if args.command == "index":
+            return _run_index(args)
         from clair3_rna_tpu.evaluation.cli_tools import dispatch_tool
         from clair3_rna_tpu.train.cli_tools import dispatch_train
         if dispatch_tool(args):

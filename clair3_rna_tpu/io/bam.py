@@ -8,7 +8,7 @@ writer exists for data synthesis (tests, benchmarks) and haplotag output.
 import struct
 from dataclasses import dataclass, field
 
-from clair3_rna_tpu.io.bgzf import BgzfReader, BgzfWriter, bgzf_decompress
+from clair3_rna_tpu.io.bgzf import BgzfReader, BgzfWriter
 
 CIGAR_OPS = "MIDNSHP=X"
 CIGAR_M, CIGAR_I, CIGAR_D, CIGAR_N, CIGAR_S, CIGAR_H, CIGAR_P, CIGAR_EQ, CIGAR_X = range(9)
@@ -112,74 +112,133 @@ def _decode_record(buf: bytes) -> BamRecord:
 
 
 class BamReader:
-    """Streaming BAM reader; region queries scan the (sorted) file linearly.
+    """Streaming, index-aware BAM reader with bounded memory.
 
-    Sufficient for chunked calling where each worker reads its contig range
-    once. BAI random access can be layered on top via BgzfReader virtual
-    offsets when needed.
+    Only the header is parsed at open; record access streams BGZF blocks on
+    demand. With a BAI (`<bam>.bai`, auto-detected or built in memory on
+    first fetch), region queries seek straight to the covering blocks --
+    fetch cost scales with the region, not the file, matching what the
+    reference gets from htslib (`samtools mpileup -r ctg:start-end`,
+    src/create_tensor_pileup.py:438-451). The decompressed stream is never
+    materialized whole.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, load_index: bool = True):
         self.path = path
-        with open(path, "rb") as f:
-            data = bgzf_decompress(f.read())
-        if data[:4] != b"BAM\x01":
+        bz = BgzfReader(path)
+        if bz.read(4) != b"BAM\x01":
+            bz.close()
             raise ValueError(f"{path}: not a BAM file")
-        l_text = struct.unpack_from("<i", data, 4)[0]
-        self.header_text = data[8:8 + l_text].decode(errors="replace")
-        off = 8 + l_text
-        n_ref = struct.unpack_from("<i", data, off)[0]
-        off += 4
+        l_text = struct.unpack("<i", bz.read(4))[0]
+        self.header_text = bz.read(l_text).decode(errors="replace")
+        n_ref = struct.unpack("<i", bz.read(4))[0]
         self.references = []
         self.reference_lengths = {}
         for _ in range(n_ref):
-            l_name = struct.unpack_from("<i", data, off)[0]
-            name = data[off + 4:off + 4 + l_name - 1].decode()
-            l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
-            off += 8 + l_name
+            l_name = struct.unpack("<i", bz.read(4))[0]
+            name = bz.read(l_name)[:-1].decode()
+            l_ref = struct.unpack("<i", bz.read(4))[0]
             self.references.append(name)
             self.reference_lengths[name] = l_ref
-        self._records_start = off
-        self._data = data
-        self._decoded = None  # lazy one-shot decode cache
+        self._records_voffset = bz.virtual_offset
+        bz.close()
         self.ref_index = {name: i for i, name in enumerate(self.references)}
+        self._bai = None
+        if load_index:
+            from clair3_rna_tpu.io.bai import BaiIndex, index_path_for
+            bai_path = index_path_for(path)
+            if bai_path is not None:
+                self._bai = BaiIndex.load(bai_path)
 
-    def _ensure_decoded(self):
-        if self._decoded is None:
-            self._decoded = list(self._iter_raw())
-        return self._decoded
+    def close(self):
+        pass  # handles are per-iteration; nothing persistent to release
 
-    def _iter_raw(self):
-        data = self._data
-        off = self._records_start
-        n = len(data)
-        while off + 4 <= n:
-            block_size = struct.unpack_from("<i", data, off)[0]
-            off += 4
-            yield _decode_record(data[off:off + block_size])
-            off += block_size
+    @property
+    def has_index(self) -> bool:
+        return self._bai is not None
+
+    def _raw_blocks(self, voffset=None):
+        """Fresh BgzfReader positioned at voffset (records start by default).
+
+        Each iteration/fetch gets its own handle so concurrent generators on
+        one BamReader never interfere.
+        """
+        bz = BgzfReader(self.path)
+        bz.seek_virtual(self._records_voffset if voffset is None else voffset)
+        return bz
+
+    def _scan_extents(self, voffset=None):
+        """Yield (ref_id, pos, ref_end, vbeg, vend) per record, decoding only
+        the fields the BAI builder needs (no seq/qual/tags)."""
+        bz = self._raw_blocks(voffset)
+        try:
+            while True:
+                vbeg = bz.virtual_offset
+                head = bz.read(4)
+                if len(head) < 4:
+                    return
+                block_size = struct.unpack("<i", head)[0]
+                buf = bz.read(block_size)
+                vend = bz.virtual_offset
+                ref_id, pos = struct.unpack_from("<ii", buf, 0)
+                l_read_name = buf[8]
+                n_cigar = struct.unpack_from("<H", buf, 12)[0]
+                span = 0
+                coff = 32 + l_read_name
+                for k in range(n_cigar):
+                    v = struct.unpack_from("<I", buf, coff + 4 * k)[0]
+                    if CONSUMES_REF[v & 0xF]:
+                        span += v >> 4
+                yield ref_id, pos, pos + span, vbeg, vend
+        finally:
+            bz.close()
+
+    def _records_from(self, voffset=None):
+        """Yield (BamRecord, vend) streaming from voffset."""
+        bz = self._raw_blocks(voffset)
+        try:
+            while True:
+                head = bz.read(4)
+                if len(head) < 4:
+                    return
+                block_size = struct.unpack("<i", head)[0]
+                buf = bz.read(block_size)
+                yield _decode_record(buf), bz.virtual_offset
+        finally:
+            bz.close()
 
     def __iter__(self):
-        return iter(self._ensure_decoded())
+        return (rec for rec, _ in self._records_from())
+
+    def _ensure_index(self):
+        if self._bai is None:
+            from clair3_rna_tpu.io.bai import IndexBuilder
+            builder = IndexBuilder(len(self.references))
+            for extent in self._scan_extents():
+                builder.add(*extent)
+            self._bai = builder.finish()
+        return self._bai
 
     def fetch(self, contig: str, start: int = 0, end: int | None = None,
               exclude_flags: int = 0, min_mapq: int = 0):
-        """Yield records overlapping [start, end) on contig (0-based)."""
+        """Yield records overlapping [start, end) on contig (0-based).
+
+        Uses the BAI when present (on-disk or built in memory on first call)
+        to inflate only the blocks covering the region.
+        """
         want_ref = self.ref_index[contig]
         if end is None:
             end = self.reference_lengths[contig]
-        for rec in self._ensure_decoded():
-            if rec.ref_id != want_ref:
-                if rec.ref_id > want_ref >= 0:
+        bai = self._ensure_index()
+        for vbeg, vend in bai.query(want_ref, start, end):
+            for rec, voff in self._records_from(vbeg):
+                if rec.ref_id != want_ref or rec.pos >= end:
+                    return  # coordinate-sorted: nothing later can overlap
+                if not (rec.flag & exclude_flags) and rec.mapq >= min_mapq \
+                        and rec.reference_end > start:
+                    yield rec
+                if voff >= vend:
                     break
-                continue
-            if rec.pos >= end:
-                break
-            if rec.flag & exclude_flags or rec.mapq < min_mapq:
-                continue
-            if rec.reference_end <= start:
-                continue
-            yield rec
 
 
 class BamWriter:

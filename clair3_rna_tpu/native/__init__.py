@@ -130,6 +130,12 @@ def get_library():
         lib.bam_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.bam_n_records.restype = ctypes.c_int64
         lib.bam_n_records.argtypes = [ctypes.c_void_p]
+        lib.bam_is_indexed.restype = ctypes.c_int32
+        lib.bam_is_indexed.argtypes = [ctypes.c_void_p]
+        lib.bam_bytes_read.restype = ctypes.c_int64
+        lib.bam_bytes_read.argtypes = [ctypes.c_void_p]
+        lib.bam_build_index.restype = ctypes.c_int32
+        lib.bam_build_index.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         lib.extract_events_native.restype = ctypes.POINTER(_EventsOut)
         lib.extract_events_native.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
@@ -178,7 +184,17 @@ class NativeBam:
             name: lib.bam_ref_len(self._handle, i)
             for i, name in enumerate(self.references)}
         self.ref_index = {name: i for i, name in enumerate(self.references)}
-        self.n_records = lib.bam_n_records(self._handle)
+        self.n_records = lib.bam_n_records(self._handle)  # -1 when indexed
+
+    @property
+    def has_index(self) -> bool:
+        """True in bounded-memory BAI mode (region loads inflate only the
+        covering BGZF blocks instead of holding the whole file in RAM)."""
+        return bool(self._lib.bam_is_indexed(self._handle))
+
+    def bytes_read(self) -> int:
+        """Compressed bytes inflated so far (indexed mode I/O accounting)."""
+        return int(self._lib.bam_bytes_read(self._handle))
 
     def close(self):
         if self._handle:

@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -shared -fPIC pileup_native.cc -o libpileup_native.so -lz
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -35,11 +36,22 @@ struct RecordView {
   int32_t body_len;
 };
 
+// BAI index (SAM spec 5.2): per-reference bin -> virtual-offset chunks plus a
+// 16 kb linear index. Mirrors clair3_rna_tpu/io/bai.py exactly.
+struct BaiIndex {
+  std::vector<std::unordered_map<uint32_t, std::vector<std::pair<uint64_t, uint64_t>>>> bins;
+  std::vector<std::vector<uint64_t>> linear;
+};
+
 struct BamFile {
-  std::vector<uint8_t> data;           // decompressed BAM stream
+  std::string path;
+  bool indexed = false;                // bounded-memory region mode (.bai)
+  std::vector<uint8_t> data;           // whole decompressed stream (legacy)
   std::vector<std::string> ref_names;
   std::vector<int64_t> ref_lens;
-  std::vector<RecordView> records;     // coordinate order as stored
+  std::vector<RecordView> records;     // legacy mode: coordinate order
+  BaiIndex index;                      // indexed mode
+  std::atomic<int64_t> bytes_read{0};  // compressed bytes touched (indexed)
 };
 
 constexpr int CIGAR_M = 0, CIGAR_I = 1, CIGAR_D = 2, CIGAR_N = 3, CIGAR_S = 4,
@@ -144,6 +156,182 @@ bool bgzf_decompress_all(const uint8_t* src, size_t n, std::vector<uint8_t>* out
   return ok.load();
 }
 
+// --- streaming BGZF block reader (bounded memory; indexed mode) -------------
+
+struct BgzfBlockStream {
+  FILE* f;
+  uint64_t coffset;       // compressed offset of the next block
+  int64_t bytes_read = 0;  // compressed bytes consumed through this stream
+
+  BgzfBlockStream(FILE* file, uint64_t off) : f(file), coffset(off) {
+    fseek(f, static_cast<long>(off), SEEK_SET);
+  }
+
+  // Inflate the next block, appending to *out; records the block's compressed
+  // offset and its start offset within *out. False at EOF / non-BGZF bytes.
+  bool next(std::vector<uint8_t>* out, uint64_t* block_coffset,
+            size_t* block_buf_off) {
+    uint8_t hdr[12];
+    if (fread(hdr, 1, 12, f) != 12) return false;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
+    uint16_t xlen;
+    memcpy(&xlen, hdr + 10, 2);
+    std::vector<uint8_t> extra(xlen);
+    if (xlen && fread(extra.data(), 1, xlen, f) != xlen) return false;
+    int32_t bsize = -1;
+    for (size_t i = 0; i + 4 <= xlen;) {
+      uint16_t slen;
+      memcpy(&slen, extra.data() + i + 2, 2);
+      if (extra[i] == 0x42 && extra[i + 1] == 0x43 && slen == 2) {
+        uint16_t v;
+        memcpy(&v, extra.data() + i + 4, 2);
+        bsize = v + 1;
+      }
+      i += 4 + slen;
+    }
+    if (bsize < 0 || bsize < 12 + xlen + 8) return false;
+    size_t payload_len = bsize - 12 - xlen - 8;
+    std::vector<uint8_t> payload(payload_len + 8);
+    if (fread(payload.data(), 1, payload_len + 8, f) != payload_len + 8)
+      return false;
+    uint32_t isize;
+    memcpy(&isize, payload.data() + payload_len + 4, 4);
+    *block_coffset = coffset;
+    *block_buf_off = out->size();
+    size_t old = out->size();
+    out->resize(old + isize);
+    if (isize) {
+      z_stream zs{};
+      if (inflateInit2(&zs, -15) != Z_OK) return false;
+      zs.next_in = payload.data();
+      zs.avail_in = static_cast<uInt>(payload_len);
+      zs.next_out = out->data() + old;
+      zs.avail_out = isize;
+      int r = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (r != Z_STREAM_END || zs.avail_out != 0) return false;
+    }
+    coffset += bsize;
+    bytes_read += bsize;
+    return true;
+  }
+};
+
+// --- BAI binning arithmetic (identical to io/bai.py) -------------------------
+
+constexpr uint32_t BAI_MAX_BIN = 37449;
+constexpr int LINEAR_SHIFT = 14;
+
+uint32_t bai_reg2bin(int64_t beg, int64_t end) {
+  --end;
+  if (beg >> 14 == end >> 14) return ((1 << 15) - 1) / 7 + (beg >> 14);
+  if (beg >> 17 == end >> 17) return ((1 << 12) - 1) / 7 + (beg >> 17);
+  if (beg >> 20 == end >> 20) return ((1 << 9) - 1) / 7 + (beg >> 20);
+  if (beg >> 23 == end >> 23) return ((1 << 6) - 1) / 7 + (beg >> 23);
+  if (beg >> 26 == end >> 26) return ((1 << 3) - 1) / 7 + (beg >> 26);
+  return 0;
+}
+
+void bai_reg2bins(int64_t beg, int64_t end, std::vector<uint32_t>* bins) {
+  --end;
+  bins->push_back(0);
+  static const int shifts[] = {26, 23, 20, 17, 14};
+  static const uint32_t offsets[] = {1, 9, 73, 585, 4681};
+  for (int l = 0; l < 5; ++l)
+    for (int64_t k = offsets[l] + (beg >> shifts[l]);
+         k <= offsets[l] + (end >> shifts[l]); ++k)
+      bins->push_back(static_cast<uint32_t>(k));
+}
+
+bool bai_load(const std::string& path, BaiIndex* idx) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> data(size);
+  if (fread(data.data(), 1, size, f) != static_cast<size_t>(size)) {
+    fclose(f);
+    return false;
+  }
+  fclose(f);
+  if (size < 8 || memcmp(data.data(), "BAI\x01", 4) != 0) return false;
+  int32_t n_ref;
+  memcpy(&n_ref, data.data() + 4, 4);
+  size_t off = 8;
+  const size_t n = data.size();
+  idx->bins.assign(n_ref, {});
+  idx->linear.assign(n_ref, {});
+  for (int r = 0; r < n_ref; ++r) {
+    if (off + 4 > n) return false;
+    int32_t n_bin;
+    memcpy(&n_bin, data.data() + off, 4);
+    off += 4;
+    for (int b = 0; b < n_bin; ++b) {
+      if (off + 8 > n) return false;
+      uint32_t bin_id;
+      int32_t n_chunk;
+      memcpy(&bin_id, data.data() + off, 4);
+      memcpy(&n_chunk, data.data() + off + 4, 4);
+      off += 8;
+      if (off + 16ull * n_chunk > n) return false;
+      if (bin_id <= BAI_MAX_BIN) {
+        auto& chunks = idx->bins[r][bin_id];
+        chunks.reserve(n_chunk);
+        for (int c = 0; c < n_chunk; ++c) {
+          uint64_t vbeg, vend;
+          memcpy(&vbeg, data.data() + off + 16ull * c, 8);
+          memcpy(&vend, data.data() + off + 16ull * c + 8, 8);
+          chunks.emplace_back(vbeg, vend);
+        }
+      }
+      off += 16ull * n_chunk;
+    }
+    if (off + 4 > n) return false;
+    int32_t n_intv;
+    memcpy(&n_intv, data.data() + off, 4);
+    off += 4;
+    if (off + 8ull * n_intv > n) return false;
+    idx->linear[r].resize(n_intv);
+    memcpy(idx->linear[r].data(), data.data() + off, 8ull * n_intv);
+    off += 8ull * n_intv;
+  }
+  return true;
+}
+
+// Merged, sorted voffset chunks possibly containing records overlapping
+// [beg, end), pruned by the linear index (mirror of BaiIndex.query).
+std::vector<std::pair<uint64_t, uint64_t>> bai_query(const BaiIndex& idx,
+                                                     int32_t ref_id,
+                                                     int64_t beg, int64_t end) {
+  std::vector<std::pair<uint64_t, uint64_t>> chunks;
+  if (ref_id < 0 || static_cast<size_t>(ref_id) >= idx.bins.size())
+    return chunks;
+  const auto& bmap = idx.bins[ref_id];
+  const auto& lin = idx.linear[ref_id];
+  size_t win = static_cast<size_t>(beg >> LINEAR_SHIFT);
+  uint64_t min_off = lin.empty() ? 0
+                     : (win < lin.size() ? lin[win] : lin.back());
+  std::vector<uint32_t> bins;
+  bai_reg2bins(beg, end, &bins);
+  for (uint32_t b : bins) {
+    auto it = bmap.find(b);
+    if (it == bmap.end()) continue;
+    for (const auto& ch : it->second)
+      if (ch.second > min_off)
+        chunks.emplace_back(std::max(ch.first, min_off), ch.second);
+  }
+  std::sort(chunks.begin(), chunks.end());
+  std::vector<std::pair<uint64_t, uint64_t>> merged;
+  for (const auto& ch : chunks) {
+    if (!merged.empty() && (ch.first >> 16) <= (merged.back().second >> 16))
+      merged.back().second = std::max(merged.back().second, ch.second);
+    else
+      merged.push_back(ch);
+  }
+  return merged;
+}
+
 int32_t reference_span(const uint8_t* body) {
   uint8_t l_read_name = body[8];
   uint16_t n_cigar;
@@ -157,6 +345,91 @@ int32_t reference_span(const uint8_t* body) {
     if (consumes_ref(op)) span += v >> 4;
   }
   return span;
+}
+
+// --- region record loading ---------------------------------------------------
+//
+// The one entry point both extractors use. Legacy mode: filter the in-RAM
+// record list. Indexed mode: query the BAI, inflate ONLY the covering BGZF
+// blocks, and parse records out of the freshly inflated buffer -- memory and
+// I/O scale with the region, matching htslib's `samtools mpileup -r` behavior
+// (src/create_tensor_pileup.py:438-451).
+
+struct RegionRecords {
+  std::vector<uint8_t> buf;          // owns inflated bytes (indexed mode)
+  std::vector<RecordView> records;   // filtered, overlap [start, end)
+};
+
+bool load_region_records(BamFile* bam, int32_t ref_id, int64_t start,
+                         int64_t end, int32_t min_mq, int32_t exclude_flags,
+                         RegionRecords* rr) {
+  auto keep = [&](const RecordView& rv) {
+    return !(rv.flag & exclude_flags) && rv.mapq >= min_mq && rv.end > start;
+  };
+  if (!bam->indexed) {
+    for (const RecordView& rv : bam->records) {
+      if (rv.ref_id != ref_id) {
+        if (rv.ref_id > ref_id && ref_id >= 0) break;
+        continue;
+      }
+      if (rv.pos >= end) break;
+      if (keep(rv)) rr->records.push_back(rv);
+    }
+    return true;
+  }
+
+  auto chunks = bai_query(bam->index, ref_id, start, end);
+  if (chunks.empty()) return true;
+  FILE* f = fopen(bam->path.c_str(), "rb");
+  if (!f) return false;
+
+  // pass 1: inflate all chunks' blocks into one stable buffer
+  struct Seg { size_t parse_from; uint64_t vend; };
+  std::vector<Seg> segs;
+  std::vector<std::pair<size_t, uint64_t>> bmap;  // buf offset -> coffset
+  for (const auto& ch : chunks) {
+    uint64_t clo = ch.first >> 16, cend = ch.second >> 16;
+    uint16_t ubeg = ch.first & 0xFFFF, uend = ch.second & 0xFFFF;
+    BgzfBlockStream bs(f, clo);
+    size_t first_block_off = rr->buf.size();
+    uint64_t bco;
+    size_t boff;
+    while (bs.coffset < cend || (bs.coffset == cend && uend > 0)) {
+      if (!bs.next(&rr->buf, &bco, &boff)) break;
+      bmap.emplace_back(boff, bco);
+    }
+    bam->bytes_read += bs.bytes_read;
+    segs.push_back({first_block_off + ubeg, ch.second});
+  }
+  fclose(f);
+
+  // pass 2: parse records per segment (buffer is final -- pointers stable)
+  size_t bi = 0;
+  for (const Seg& seg : segs) {
+    size_t p = seg.parse_from;
+    while (p + 4 <= rr->buf.size()) {
+      while (bi + 1 < bmap.size() && bmap[bi + 1].first <= p) ++bi;
+      uint64_t voff = (bmap[bi].second << 16) | (p - bmap[bi].first);
+      if (voff >= seg.vend) break;
+      int32_t block_size;
+      memcpy(&block_size, rr->buf.data() + p, 4);
+      if (block_size <= 0 || p + 4 + block_size > rr->buf.size()) break;
+      const uint8_t* body = rr->buf.data() + p + 4;
+      RecordView rv;
+      memcpy(&rv.ref_id, body, 4);
+      memcpy(&rv.pos, body + 4, 4);
+      memcpy(&rv.flag, body + 14, 2);
+      rv.mapq = body[9];
+      rv.body = body;
+      rv.body_len = block_size;
+      p += 4 + block_size;
+      if (rv.ref_id != ref_id) continue;
+      if (rv.pos >= end) return true;  // coordinate-sorted: done
+      rv.end = rv.pos + reference_span(body);
+      if (keep(rv)) rr->records.push_back(rv);
+    }
+  }
+  return true;
 }
 
 template <typename T>
@@ -209,20 +482,84 @@ int parse_hp_tag(const uint8_t* tags, const uint8_t* end) {
 
 extern "C" {
 
+static bool open_indexed(BamFile* bam) {
+  std::string bai1 = bam->path + ".bai";
+  std::string stem = bam->path;
+  size_t dot = stem.rfind('.');
+  std::string bai2 =
+      (dot == std::string::npos ? stem : stem.substr(0, dot)) + ".bai";
+  if (!bai_load(bai1, &bam->index) && !bai_load(bai2, &bam->index))
+    return false;
+  FILE* f = fopen(bam->path.c_str(), "rb");
+  if (!f) return false;
+  // inflate only as many leading blocks as the header needs
+  BgzfBlockStream bs(f, 0);
+  std::vector<uint8_t> hbuf;
+  uint64_t bco;
+  size_t boff;
+  auto need = [&](size_t n) {
+    while (hbuf.size() < n)
+      if (!bs.next(&hbuf, &bco, &boff)) return false;
+    return true;
+  };
+  bool ok = need(12) && memcmp(hbuf.data(), "BAM\x01", 4) == 0;
+  if (ok) {
+    int32_t l_text;
+    memcpy(&l_text, hbuf.data() + 4, 4);
+    size_t off = 8 + l_text;
+    ok = need(off + 4);
+    int32_t n_ref = 0;
+    if (ok) {
+      memcpy(&n_ref, hbuf.data() + off, 4);
+      off += 4;
+    }
+    for (int i = 0; ok && i < n_ref; ++i) {
+      ok = need(off + 4);
+      if (!ok) break;
+      int32_t l_name;
+      memcpy(&l_name, hbuf.data() + off, 4);
+      ok = need(off + 8 + l_name);
+      if (!ok) break;
+      bam->ref_names.emplace_back(
+          reinterpret_cast<const char*>(hbuf.data() + off + 4), l_name - 1);
+      int32_t l_ref;
+      memcpy(&l_ref, hbuf.data() + off + 4 + l_name, 4);
+      bam->ref_lens.push_back(l_ref);
+      off += 8 + l_name;
+    }
+  }
+  bam->bytes_read += bs.bytes_read;
+  fclose(f);
+  if (!ok || bam->index.bins.size() != bam->ref_names.size()) {
+    bam->ref_names.clear();
+    bam->ref_lens.clear();
+    return false;
+  }
+  bam->indexed = true;
+  return true;
+}
+
 void* bam_open(const char* path) {
+  auto* bam = new BamFile();
+  bam->path = path;
+  if (open_indexed(bam)) return bam;
+
   FILE* f = fopen(path, "rb");
-  if (!f) return nullptr;
+  if (!f) {
+    delete bam;
+    return nullptr;
+  }
   fseek(f, 0, SEEK_END);
   long size = ftell(f);
   fseek(f, 0, SEEK_SET);
   std::vector<uint8_t> raw(size);
   if (fread(raw.data(), 1, size, f) != static_cast<size_t>(size)) {
     fclose(f);
+    delete bam;
     return nullptr;
   }
   fclose(f);
 
-  auto* bam = new BamFile();
   if (!bgzf_decompress_all(raw.data(), raw.size(), &bam->data) ||
       bam->data.size() < 12 || memcmp(bam->data.data(), "BAM\x01", 4) != 0) {
     delete bam;
@@ -281,7 +618,168 @@ int64_t bam_ref_len(void* handle, int32_t i) {
 }
 
 int64_t bam_n_records(void* handle) {
-  return static_cast<int64_t>(static_cast<BamFile*>(handle)->records.size());
+  auto* bam = static_cast<BamFile*>(handle);
+  if (bam->indexed) return -1;  // unknown without a full scan
+  return static_cast<int64_t>(bam->records.size());
+}
+
+int32_t bam_is_indexed(void* handle) {
+  return static_cast<BamFile*>(handle)->indexed ? 1 : 0;
+}
+
+// compressed bytes inflated so far (indexed mode); the bounded-I/O proof
+int64_t bam_bytes_read(void* handle) {
+  return static_cast<BamFile*>(handle)->bytes_read.load();
+}
+
+// Streaming BAI builder (samtools-index equivalent): one block-by-block pass,
+// memory bounded by the rolling parse buffer + the index itself. Returns
+// 0 ok, 1 open/read error, 2 not a BAM, 3 not coordinate-sorted, 4 write
+// error. Mirrors clair3_rna_tpu/io/bai.py IndexBuilder bit-for-bit.
+int32_t bam_build_index(const char* bam_path, const char* bai_path) {
+  FILE* f = fopen(bam_path, "rb");
+  if (!f) return 1;
+  BgzfBlockStream bs(f, 0);
+  std::vector<uint8_t> buf;
+  std::vector<std::pair<size_t, uint64_t>> bmap;  // abs buf offset -> coffset
+  size_t abs_base = 0;  // absolute uncompressed offset of buf[0]
+  uint64_t bco;
+  size_t boff;
+  bool eof = false;
+  auto need = [&](size_t abs_target) {
+    while (abs_base + buf.size() < abs_target) {
+      size_t before = buf.size();
+      if (!bs.next(&buf, &bco, &boff)) {
+        eof = true;
+        return false;
+      }
+      bmap.emplace_back(abs_base + before, bco);
+    }
+    return true;
+  };
+
+  if (!need(12) || memcmp(buf.data(), "BAM\x01", 4) != 0) {
+    fclose(f);
+    return 2;
+  }
+  int32_t l_text;
+  memcpy(&l_text, buf.data() + 4, 4);
+  size_t p = 8 + l_text;  // absolute offset cursor
+  if (!need(p + 4)) {
+    fclose(f);
+    return 2;
+  }
+  int32_t n_ref;
+  memcpy(&n_ref, buf.data() + p, 4);
+  p += 4;
+  for (int i = 0; i < n_ref; ++i) {
+    if (!need(p + 4)) { fclose(f); return 2; }
+    int32_t l_name;
+    memcpy(&l_name, buf.data() + p, 4);
+    if (!need(p + 8 + l_name)) { fclose(f); return 2; }
+    p += 8 + l_name;
+  }
+
+  std::vector<std::unordered_map<uint32_t,
+      std::vector<std::pair<uint64_t, uint64_t>>>> bins(n_ref);
+  std::vector<std::vector<uint64_t>> linear(n_ref);
+  uint64_t n_no_coor = 0;
+  int32_t last_ref = -1;
+  int64_t last_pos = -1;
+  size_t bi = 0;
+
+  auto voffset_at = [&](size_t abs) -> uint64_t {
+    while (bi + 1 < bmap.size() && bmap[bi + 1].first <= abs) ++bi;
+    return (bmap[bi].second << 16) | (abs - bmap[bi].first);
+  };
+
+  for (;;) {
+    if (!need(p + 4)) break;  // clean EOF
+    uint64_t vbeg = voffset_at(p);
+    int32_t block_size;
+    memcpy(&block_size, buf.data() + (p - abs_base), 4);
+    if (block_size <= 0 || !need(p + 4 + block_size)) { fclose(f); return 2; }
+    const uint8_t* body = buf.data() + (p - abs_base) + 4;
+    p += 4 + block_size;
+    uint64_t vend = voffset_at(p);
+    int32_t ref_id, pos;
+    memcpy(&ref_id, body, 4);
+    memcpy(&pos, body + 4, 4);
+    if (ref_id < 0) {
+      ++n_no_coor;
+    } else {
+      if (ref_id < last_ref || (ref_id == last_ref && pos < last_pos)) {
+        fclose(f);
+        return 3;
+      }
+      last_ref = ref_id;
+      last_pos = pos;
+      int64_t rec_end = pos + reference_span(body);
+      if (rec_end <= pos) rec_end = pos + 1;
+      uint32_t b = bai_reg2bin(pos, rec_end);
+      auto& chunks = bins[ref_id][b];
+      if (!chunks.empty() && chunks.back().second == vbeg)
+        chunks.back().second = vend;
+      else
+        chunks.emplace_back(vbeg, vend);
+      auto& lin = linear[ref_id];
+      for (int64_t w = pos >> LINEAR_SHIFT; w <= (rec_end - 1) >> LINEAR_SHIFT;
+           ++w) {
+        if (static_cast<size_t>(w) >= lin.size()) lin.resize(w + 1, 0);
+        if (lin[w] == 0 || vbeg < lin[w]) lin[w] = vbeg;
+      }
+    }
+    // compact the rolling buffer so memory stays bounded
+    if (p - abs_base > (8u << 20)) {
+      size_t keep_from;  // start of the block containing p
+      while (bi + 1 < bmap.size() && bmap[bi + 1].first <= p) ++bi;
+      keep_from = bmap[bi].first;
+      buf.erase(buf.begin(), buf.begin() + (keep_from - abs_base));
+      abs_base = keep_from;
+      bmap.erase(bmap.begin(), bmap.begin() + bi);
+      bi = 0;
+    }
+  }
+  fclose(f);
+
+  // fill linear-index holes with the previous known offset (htslib behavior)
+  for (auto& lin : linear) {
+    uint64_t last = 0;
+    for (auto& v : lin) {
+      if (v == 0)
+        v = last;
+      else
+        last = v;
+    }
+  }
+
+  FILE* out = fopen(bai_path, "wb");
+  if (!out) return 4;
+  auto w32 = [&](int32_t v) { fwrite(&v, 4, 1, out); };
+  auto w64 = [&](uint64_t v) { fwrite(&v, 8, 1, out); };
+  fwrite("BAI\x01", 1, 4, out);
+  w32(n_ref);
+  for (int r = 0; r < n_ref; ++r) {
+    std::vector<uint32_t> keys;
+    keys.reserve(bins[r].size());
+    for (const auto& kv : bins[r]) keys.push_back(kv.first);
+    std::sort(keys.begin(), keys.end());
+    w32(static_cast<int32_t>(keys.size()));
+    for (uint32_t b : keys) {
+      const auto& chunks = bins[r][b];
+      fwrite(&b, 4, 1, out);
+      w32(static_cast<int32_t>(chunks.size()));
+      for (const auto& ch : chunks) {
+        w64(ch.first);
+        w64(ch.second);
+      }
+    }
+    w32(static_cast<int32_t>(linear[r].size()));
+    for (uint64_t v : linear[r]) w64(v);
+  }
+  w64(n_no_coor);
+  bool ok = fclose(out) == 0;
+  return ok ? 0 : 4;
 }
 
 struct EventsOut {
@@ -347,17 +845,14 @@ EventsOut* extract_events_native(void* handle, int32_t ref_id, int64_t start,
   base_rank.reserve(1 << 20);
   base_hp.reserve(1 << 20);
 
-  int64_t read_index = -1;
-  for (const RecordView& rv : bam->records) {
-    if (rv.ref_id != ref_id) {
-      if (rv.ref_id > ref_id && ref_id >= 0) break;
-      continue;
-    }
-    if (rv.pos >= end) break;
-    if ((rv.flag & exclude_flags) || rv.mapq < min_mq) continue;
-    if (rv.end <= start) continue;
-    ++read_index;
-    int64_t rank = 2 * read_index;
+  RegionRecords region;
+  if (!load_region_records(bam, ref_id, start, end, min_mq, exclude_flags,
+                           &region))
+    return nullptr;
+  for (size_t read_index = 0; read_index < region.records.size();
+       ++read_index) {
+    const RecordView& rv = region.records[read_index];
+    int64_t rank = 2 * static_cast<int64_t>(read_index);
     int8_t strand = (rv.flag & 0x10) ? 1 : 0;
 
     const uint8_t* body = rv.body;
@@ -783,16 +1278,15 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
 
   // filter pass: global rank order must match the reference's mpileup read
   // order regardless of how the position axis is partitioned
+  RegionRecords region;
+  if (!load_region_records(bam, ref_id, start, end, min_mq, exclude_flags,
+                           &region))
+    return nullptr;
   std::vector<const RecordView*> recs;
   std::vector<int64_t> ranks;
-  for (const RecordView& rv : bam->records) {
-    if (rv.ref_id != ref_id) {
-      if (rv.ref_id > ref_id && ref_id >= 0) break;
-      continue;
-    }
-    if (rv.pos >= end) break;
-    if ((rv.flag & exclude_flags) || rv.mapq < min_mq) continue;
-    if (rv.end <= start) continue;
+  recs.reserve(region.records.size());
+  ranks.reserve(region.records.size());
+  for (const RecordView& rv : region.records) {
     ranks.push_back(2 * static_cast<int64_t>(recs.size()));
     recs.push_back(&rv);
   }

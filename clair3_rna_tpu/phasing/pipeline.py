@@ -32,7 +32,9 @@ def phase_and_haplotag(bam_path: str, ref_path: str, vcf_path: str,
     n_total = 0
     contig_set = set(contigs)
     for ctg in bam.references:
-        records = [r for r in bam if r.ref_id == bam.ref_index[ctg]]
+        # indexed region fetch: one pass over this contig's blocks only
+        # (a full-file rescan per contig would be O(contigs x records))
+        records = list(bam.fetch(ctg))
         if ctg not in contig_set:
             for rec in records:
                 writer.write(rec)
