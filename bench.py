@@ -114,17 +114,18 @@ def bench_ours(fasta_path, bam_path):
     from clair3_rna_tpu.config import PileupConfig
     from clair3_rna_tpu.caller.decode import CallConfig
     from clair3_rna_tpu.caller.pipeline import run_calling
-    from clair3_rna_tpu.models.network import init_params, make_forward_fn
+    from clair3_rna_tpu.models.network import init_params, make_wire_forward_fn
 
     cfg = PileupConfig(batch_size=2048)
     call_cfg = CallConfig(show_ref=False)
     params = get_trained_params()
-    _, forward = make_forward_fn()
+    _, forward = make_wire_forward_fn()
     # warm every batch bucket the pipeline can dispatch (full batch + the
     # power-of-two flush buckets); all compile once into the persistent cache
     b = cfg.batch_size
     while b >= 64:
-        np.asarray(forward(params, np.zeros((b, 33, 18), np.int16)))
+        np.asarray(forward(params, np.zeros((b, 33, 18), np.uint8),
+                           np.zeros((b, 33), np.int8))[0])
         b //= 2
 
     out_path = os.path.join(os.path.dirname(bam_path), "bench_out.vcf")

@@ -46,7 +46,8 @@ def load_model(model_path, add_indel_length=False, phased=False, mesh=None):
     forward shards its batch over the 'dp' axis -- the in-process analogue of
     the reference's GNU-parallel chunk fan-out (run_clair3_rna:681-707), with
     XLA collectives over ICI instead of process boundaries."""
-    from clair3_rna_tpu.models.network import init_params, make_forward_fn
+    from clair3_rna_tpu.models.network import (init_params, make_forward_fn,
+                                               make_wire_forward_fn)
     if model_path:
         from clair3_rna_tpu.models.params_io import resolve_params
         params = resolve_params(model_path, add_indel_length=add_indel_length)
@@ -54,11 +55,14 @@ def load_model(model_path, add_indel_length=False, phased=False, mesh=None):
         logger.warning("[WARNING] no --model_path given: using RANDOM weights "
                        "(testing only, calls will be meaningless)")
         params = init_params(0, add_indel_length=add_indel_length, phased=phased)
-    model, forward = make_forward_fn(add_indel_length=add_indel_length)
     if mesh is not None:
+        model, _ = make_forward_fn(add_indel_length=add_indel_length)
         from clair3_rna_tpu.parallel.mesh import shard_params, sharded_forward_fn
         params = shard_params(params, mesh)
         forward = sharded_forward_fn(model, mesh)
+    else:
+        model, forward = make_wire_forward_fn(
+            add_indel_length=add_indel_length)
     return params, forward
 
 

@@ -27,8 +27,8 @@ from clair3_rna_tpu.task import GT21_LABEL_INDEX
 logger = logging.getLogger(__name__)
 
 
-def batch_tensors(records, cfg: PileupConfig):
-    """TensorRecords -> int32 batch [N, 33, C] with the reference's
+def _stack_renormed(records, cfg: PileupConfig):
+    """TensorRecords -> signed int32 batch [N, 33, C] with the reference's
     high-coverage renormalization (clair3_rna/utils.py:88-92: scale by
     max_depth/depth when depth > 1.5x max_depth, then truncate back to int)."""
     n = len(records)
@@ -42,11 +42,44 @@ def batch_tensors(records, cfg: PileupConfig):
     if len(renorm):
         # float-divide then truncate toward zero, as int assignment does
         X[renorm] = X[renorm] / (depths[renorm, None, None] / max_depth)
-    # int16 on the wire: post-renorm magnitudes are bounded by
-    # 1.5*max_depth (= 216), so this is lossless and halves the
-    # host->device transfer (the dominant inference cost on a tunnelled or
-    # PCIe-attached chip); the network upcasts on device.
-    return X.astype(np.int16)
+    return X
+
+
+def batch_tensors(records, cfg: PileupConfig):
+    """Legacy signed wire: int16 batch for plain forward(params, x) fns.
+
+    Post-renorm magnitudes are bounded by 1.5*max_depth (= 216) at the
+    window center; int16 is lossless for any realistic flank depth and
+    halves the host->device transfer vs int32."""
+    return _stack_renormed(records, cfg).astype(np.int16)
+
+
+_WIRE_CODE = np.zeros(256, dtype=np.int8)
+for _i, _b in enumerate("ACGT"):
+    _WIRE_CODE[ord(_b)] = _i
+
+
+def batch_wire(records, cfg: PileupConfig):
+    """TensorRecords -> (wire, codes) for make_wire_forward_fn.
+
+    wire is uint8 channel magnitudes when every |value| fits (the common
+    case: magnitudes are bounded by per-row depth, <= 216 after
+    renormalization at the center), else signed int16/int32. codes[b, t] is
+    the effective reference-base code of window row t (non-ACGT -> A,
+    matching evc_base_from), from which the device reconstructs the
+    ref-channel negation signs exactly."""
+    X = _stack_renormed(records, cfg)
+    seq_bytes = np.frombuffer(
+        "".join(r.ref_seq for r in records).encode(), dtype=np.uint8)
+    codes = _WIRE_CODE[seq_bytes].reshape(len(records), config.NO_OF_POSITIONS)
+    peak = int(np.abs(X).max()) if len(X) else 0
+    if peak <= 255:
+        wire = np.abs(X).astype(np.uint8)
+    elif peak <= 32767:
+        wire = X.astype(np.int16)
+    else:
+        wire = X
+    return wire, codes
 
 
 def prescreen_mask(probabilities: np.ndarray, refseq_list, show_ref: bool):
@@ -87,7 +120,11 @@ def dispatch_tensor_records(records, forward, params, cfg: PileupConfig,
     another chunk's decode while the device works."""
     if not records:
         return None
-    X = batch_tensors(records, cfg)
+    is_wire = getattr(forward, "wire", False)
+    if is_wire:
+        X, codes = batch_wire(records, cfg)
+    else:
+        X = batch_tensors(records, cfg)
     n = len(X)
     batch = cfg.batch_size
     t0 = time.time()
@@ -106,7 +143,15 @@ def dispatch_tensor_records(records, forward, params, cfg: PileupConfig,
                 bucket //= 2
             pad = np.zeros((bucket - (hi - lo),) + X.shape[1:], X.dtype)
             chunk = np.concatenate([chunk, pad])
-        pending.append((lo, hi, forward(params, chunk)))
+        if is_wire:
+            ccodes = codes[lo:hi]
+            if len(ccodes) < len(chunk):
+                ccodes = np.concatenate([
+                    ccodes, np.zeros((len(chunk) - len(ccodes),
+                                      codes.shape[1]), codes.dtype)])
+            pending.append((lo, hi, forward(params, chunk, ccodes)))
+        else:
+            pending.append((lo, hi, forward(params, chunk)))
     if stats is not None:
         stats.infer_s += time.time() - t0
     return records, pending, n
@@ -122,13 +167,24 @@ def collect_rows(handle, call_cfg: CallConfig,
     t0 = time.time()
     probs = np.empty((n, 24 + (66 if call_cfg.add_indel_length else 0)),
                      np.float32)
+    device_mask = None
     for lo, hi, out in pending:
-        probs[lo:hi] = np.asarray(out)[:hi - lo]
+        if isinstance(out, tuple):  # wire forward: (probs, needs_decode)
+            if device_mask is None:
+                device_mask = np.empty(n, dtype=bool)
+            probs[lo:hi] = np.asarray(out[0])[:hi - lo]
+            device_mask[lo:hi] = np.asarray(out[1])[:hi - lo]
+        else:
+            probs[lo:hi] = np.asarray(out)[:hi - lo]
     stats.infer_s += time.time() - t0
 
     t0 = time.time()
     refseq_list = [r.ref_seq for r in records]
-    needs_decode = prescreen_mask(probs, refseq_list, call_cfg.show_ref)
+    if device_mask is not None:
+        needs_decode = np.ones(n, dtype=bool) if call_cfg.show_ref \
+            else device_mask
+    else:
+        needs_decode = prescreen_mask(probs, refseq_list, call_cfg.show_ref)
     idx = np.nonzero(needs_decode)[0]
     rows = decode_batch(
         [records[i].ctg_name for i in idx],
@@ -204,9 +260,11 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     cfg = cfg or PileupConfig()
     call_cfg = call_cfg or CallConfig()
     if forward is None or params is None:
-        from clair3_rna_tpu.models.network import init_params, make_forward_fn
+        from clair3_rna_tpu.models.network import (init_params,
+                                                   make_wire_forward_fn)
         params = params if params is not None else init_params(0, phased=cfg.phased)
-        _, forward = make_forward_fn(add_indel_length=call_cfg.add_indel_length)
+        _, forward = make_wire_forward_fn(
+            add_indel_length=call_cfg.add_indel_length)
 
     from clair3_rna_tpu.pileup.chunk import open_bam
     fasta = FastaFile(ref_path)

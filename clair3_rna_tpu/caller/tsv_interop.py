@@ -9,12 +9,34 @@ mix components (our builder -> their caller, or their builder -> our caller)
 and so tensors can be differential-debugged row by row.
 """
 
+import io
 import sys
 
 import numpy as np
 
 from clair3_rna_tpu import config
 from clair3_rna_tpu.config import PileupConfig
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def open_tensor_stream(path):
+    """Open a tensor TSV source: stdin for PIPE/-, transparent zstd
+    decompression otherwise (the reference pipes every on-disk tensor file
+    through `zstd -fdc`, clair3_rna/utils.py:73-75; plain text also accepted).
+
+    Returns (text_stream, owns_stream)."""
+    if path in (None, "PIPE", "-"):
+        return sys.stdin, False
+    f = open(path, "rb")
+    magic = f.read(4)
+    f.seek(0)
+    if magic == _ZSTD_MAGIC:
+        import zstandard
+        reader = zstandard.ZstdDecompressor().stream_reader(f,
+                                                            closefd=True)
+        return io.TextIOWrapper(io.BufferedReader(reader)), True
+    return io.TextIOWrapper(f), True
 
 
 def write_tensor_rows(bam_path, ref_path, out_stream, *, cfg: PileupConfig,
@@ -80,9 +102,26 @@ def read_tensor_rows(in_stream, batch_size):
         yield chroms, positions, refseqs, np.stack(flat), alt_infos
 
 
+_BASIC_BASES = set("ACGT")
+
+
+def write_ensemble_row(out_stream, chrom, position, refseq, alt_info, probs):
+    """One ensemble-mode output row: raw per-class probabilities instead of a
+    VCF record (clair3_rna/call_variants.py:1023-1076 batch_output_for_ensemble
+    row format; center-non-ACGT rows are skipped by the caller)."""
+    gt21 = " ".join("{:0.6f}".format(p) for p in probs[:21])
+    genotype = " ".join("{:0.6f}".format(p) for p in probs[21:24])
+    out_stream.write("\t".join([chrom, str(position), refseq, alt_info,
+                                gt21, genotype]) + "\n")
+
+
 def call_variants_from_tsv(in_stream, out_stream, *, cfg: PileupConfig,
-                           call_cfg, params, forward):
-    """Reference `call_variants` equivalent: tensor TSV in, VCF rows out."""
+                           call_cfg, params, forward, ensemble=False):
+    """Reference `call_variants` equivalent: tensor TSV in, VCF rows out.
+
+    ensemble=True emits the reference's --output_for_ensemble row format
+    (probabilities per candidate, no decode, no header) instead of VCF rows.
+    """
     from clair3_rna_tpu.caller.decode import decode_batch
     from clair3_rna_tpu.caller.pipeline import prescreen_mask
 
@@ -97,14 +136,43 @@ def call_variants_from_tsv(in_stream, out_stream, *, cfg: PileupConfig,
         if len(renorm):
             X = X.copy()
             X[renorm] = X[renorm] / (depths[renorm, None, None] / max_depth)
-        X = X.astype(np.int16)  # lossless post-renorm; halves device transfer
         n = len(X)
-        if n < cfg.batch_size:
+        device_mask = None
+        if getattr(forward, "wire", False):
+            from clair3_rna_tpu.caller.pipeline import _WIRE_CODE
+            codes = _WIRE_CODE[np.frombuffer(
+                "".join(refseqs).encode(), dtype=np.uint8)].reshape(n, -1)
+            peak = int(np.abs(X).max()) if n else 0
+            W = np.abs(X).astype(np.uint8) if peak <= 255 else \
+                (X.astype(np.int16) if peak <= 32767 else X)
+            if n < cfg.batch_size:
+                W = np.concatenate([W, np.zeros(
+                    (cfg.batch_size - n,) + W.shape[1:], W.dtype)])
+                codes = np.concatenate([codes, np.zeros(
+                    (cfg.batch_size - n, codes.shape[1]), codes.dtype)])
+            out_pair = forward(params, W, codes)
+            probs = np.asarray(out_pair[0])[:n]
+            device_mask = np.asarray(out_pair[1])[:n]
+        elif n < cfg.batch_size:
+            # int16 is lossless post-renorm and halves device transfer
+            X = X.astype(np.int16)
             pad = np.zeros((cfg.batch_size - n,) + X.shape[1:], X.dtype)
             probs = np.asarray(forward(params, np.concatenate([X, pad])))[:n]
         else:
-            probs = np.asarray(forward(params, X))
-        mask = prescreen_mask(probs, refseqs, call_cfg.show_ref)
+            probs = np.asarray(forward(params, X.astype(np.int16)))
+        if ensemble:
+            center = config.FLANKING_BASE_NUM
+            for i in range(n):
+                if refseqs[i][center] not in _BASIC_BASES:
+                    continue
+                write_ensemble_row(out_stream, chroms[i], positions[i],
+                                   refseqs[i], alt_infos[i], probs[i])
+                n_rows += 1
+            continue
+        if device_mask is not None:
+            mask = np.ones(n, dtype=bool) if call_cfg.show_ref else device_mask
+        else:
+            mask = prescreen_mask(probs, refseqs, call_cfg.show_ref)
         idx = np.nonzero(mask)[0]
         rows = decode_batch([chroms[i] for i in idx],
                             [positions[i] for i in idx],

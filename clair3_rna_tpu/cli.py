@@ -289,6 +289,10 @@ def _add_interop_parsers(subparsers):
     v.add_argument("--debug", action="store_true",
                    help="print raw probability rows instead of VCF rows "
                         "(clair3_rna/call_variants.py --debug)")
+    v.add_argument("--output_for_ensemble", action="store_true",
+                   help="emit per-candidate probability rows for ensemble "
+                        "calling instead of VCF rows "
+                        "(clair3_rna/call_variants.py --output_for_ensemble)")
     v.add_argument("--phased", action="store_true",
                    help="expect 30-channel phased tensors")
 
@@ -424,7 +428,8 @@ def _run_call_variants(args):
     from clair3_rna_tpu.caller.decode import CallConfig
     from clair3_rna_tpu.caller.driver import load_model
     from clair3_rna_tpu.caller.tsv_interop import (call_variants_from_tsv,
-                                                   open_maybe_stdout)
+                                                   open_maybe_stdout,
+                                                   open_tensor_stream)
     from clair3_rna_tpu.config import PileupConfig
 
     full_platform = config.PLATFORM_ALIASES.get(args.platform, args.platform)
@@ -438,16 +443,16 @@ def _run_call_variants(args):
         haploid_sensitive=args.haploid_sensitive,
         debug=args.debug)
     params, forward = load_model(args.model_path, phased=args.phased)
-    in_stream = sys.stdin if args.tensor_fn in ("PIPE", "-") \
-        else open(args.tensor_fn)
+    in_stream, owns_in = open_tensor_stream(args.tensor_fn)
     out, owns = open_maybe_stdout(args.call_fn)
     try:
         n = call_variants_from_tsv(in_stream, out, cfg=cfg, call_cfg=call_cfg,
-                                   params=params, forward=forward)
+                                   params=params, forward=forward,
+                                   ensemble=args.output_for_ensemble)
     finally:
         if owns:
             out.close()
-        if in_stream is not sys.stdin:
+        if owns_in:
             in_stream.close()
     print(f"[INFO] wrote {n} VCF rows", file=sys.stderr)
 

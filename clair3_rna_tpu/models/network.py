@@ -145,6 +145,74 @@ def make_forward_fn(add_indel_length: bool = False,
     return model, forward
 
 
+# GT21 indices of the homozygous-reference labels AA/CC/GG/TT (task.GT21)
+_REF_GT21_BY_CODE = (0, 4, 7, 9)
+
+
+def make_wire_forward_fn(add_indel_length: bool = False,
+                         compute_dtype=jnp.float32):
+    """Device-side wire decode + forward + homRef prescreen under ONE jit.
+
+    The calling pipeline ships each candidate window as unsigned uint8
+    channel magnitudes plus a per-row reference-base code [B, 33] int8 —
+    half the link bytes of the signed int16 format, exact because every
+    post-renormalization magnitude is bounded by 1.5x max_depth = 216 (when
+    a window row's depth exceeds 255 the batch falls back to signed int16,
+    handled here by dtype dispatch). On device the jit:
+
+      1. reconstructs signs — after the reference-channel negation trick
+         (src/create_tensor_pileup.py:296-297) the ref base's fwd/rev
+         channels are the ONLY entries that can be negative, and they are
+         never positive, so sign == -1 exactly on channels (code, code+9);
+      2. runs the network;
+      3. computes the homRef early-exit mask
+         (clair3_rna/call_variants.py:540-542) so certain-reference sites
+         skip host decode without any host-side string work.
+
+    Returns (model, forward) with forward(params, wire, codes) ->
+    (probabilities, needs_decode). forward.wire marks the capability for the
+    pipeline's dispatch.
+    """
+    model = PileupNet(add_indel_length=add_indel_length,
+                      compute_dtype=compute_dtype)
+    ref_gt21 = jnp.asarray(_REF_GT21_BY_CODE, jnp.int32)
+
+    def _finish(params, x, codes):
+        probs = model.apply({"params": params}, x)
+        ref_idx = ref_gt21[codes[:, config.FLANKING_BASE_NUM].astype(jnp.int32)]
+        ref_prob = jnp.take_along_axis(probs[:, :21], ref_idx[:, None],
+                                       axis=1)[:, 0]
+        certain_ref = (probs[:, 21] >= 0.5) & (ref_prob >= 0.5)
+        return probs, ~certain_ref
+
+    @jax.jit
+    def forward_u8(params, mags, codes):
+        c = jnp.arange(config.CHANNEL_SIZE, dtype=jnp.int32)[None, None, :]
+        cc = codes[:, :, None].astype(jnp.int32)
+        neg = (c == cc) | (c == cc + 9)
+        x18 = jnp.where(neg, -mags[..., :config.CHANNEL_SIZE].astype(jnp.float32),
+                        mags[..., :config.CHANNEL_SIZE].astype(jnp.float32))
+        if mags.shape[-1] > config.CHANNEL_SIZE:
+            x = jnp.concatenate(
+                [x18, mags[..., config.CHANNEL_SIZE:].astype(jnp.float32)],
+                axis=-1)
+        else:
+            x = x18
+        return _finish(params, x, codes)
+
+    @jax.jit
+    def forward_i16(params, x, codes):
+        return _finish(params, x.astype(jnp.float32), codes)
+
+    def forward(params, wire, codes):
+        if wire.dtype == jnp.uint8:
+            return forward_u8(params, wire, codes)
+        return forward_i16(params, wire, codes)
+
+    forward.wire = True
+    return model, forward
+
+
 def init_params(rng, add_indel_length=False, phased=False,
                 compute_dtype=jnp.float32):
     model = PileupNet(add_indel_length=add_indel_length,

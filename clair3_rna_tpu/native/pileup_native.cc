@@ -1132,7 +1132,9 @@ void tile_worker(const std::vector<const RecordView*>& recs,
           }
           int64_t w = p - start;
           counts[w * n_channels + code + (strand ? 9 : 0)] += 1;
-          group_count[w * 6 + code] += 1;
+          // group_count[w*6+code] is derived after the pass as
+          // counts[code] + counts[code+9] (case-merged), saving one
+          // read-modify-write per base in this hottest loop
           int64_t& gr = group_rank[w * 6 + code];
           if (rank < gr) gr = rank;
           if (phased && hp >= 1 && hp <= 2)
@@ -1164,7 +1166,6 @@ void tile_worker(const std::vector<const RecordView*>& recs,
               id = it->second;
             }
             counts[w * n_channels + (strand ? CH_i : CH_I)] += 1;
-            group_count[w * 6 + 4] += 1;
             int64_t& gr = group_rank[w * 6 + 4];
             if (rank + 1 < gr) gr = rank + 1;
             if (phased && hp >= 1 && hp <= 2)
@@ -1175,7 +1176,6 @@ void tile_worker(const std::vector<const RecordView*>& recs,
             shard->ins_allele.push_back(id);
           } else if (nop == CIGAR_D) {
             counts[w * n_channels + (strand ? CH_d : CH_D)] += 1;
-            group_count[w * 6 + 5] += 1;
             int64_t& gr = group_rank[w * 6 + 5];
             if (rank + 1 < gr) gr = rank + 1;
             if (phased && hp >= 1 && hp <= 2)
@@ -1356,6 +1356,19 @@ TileOut* build_tile_native(void* handle, int32_t ref_id, int64_t start,
     del_rank.insert(del_rank.end(), shard.del_rank.begin(),
                     shard.del_rank.end());
     del_len.insert(del_len.end(), shard.del_len.begin(), shard.del_len.end());
+  }
+
+  // derive the case-merged pileup_dict group counts from the channel image
+  // (fwd + rev per base, I + i, D + d); counts is still pre-negation here
+  for (int64_t w = 0; w < width; ++w) {
+    const int32_t* c = counts.data() + w * n_channels;
+    int32_t* g = group_count.data() + w * 6;
+    g[0] = c[0] + c[9];
+    g[1] = c[1] + c[10];
+    g[2] = c[2] + c[11];
+    g[3] = c[3] + c[12];
+    g[4] = c[CH_I] + c[CH_i];
+    g[5] = c[CH_D] + c[CH_d];
   }
 
   // cover prefix sums are subrange-local: every read overlapping a subrange

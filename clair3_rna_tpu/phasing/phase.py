@@ -102,6 +102,101 @@ def phase_sites(reads_alleles, n_sites, min_link=2):
     return phase, block
 
 
+def phase_sites_pairwise(reads_alleles, n_sites, min_link=2,
+                         max_pair_span=20):
+    """Phase via ALL co-observed site pairs (longphase-style linkage graph,
+    run_clair3_rna:729-767 is the stage being replaced), not just consecutive
+    sites: every read contributes a cis/trans observation for each pair of
+    informative sites it covers (up to max_pair_span index distance), and a
+    maximum-spanning-forest over |cis - trans| edge weights orients the
+    haplotypes -- strongest evidence first, weighted union-find with parity.
+
+    Returns (phase[n_sites], block[n_sites]) in the same convention as
+    phase_sites: phase is relative within a block, the first site of each
+    block has phase 0, and blocks are numbered in position order.
+    """
+    pair_counts: dict = {}
+    for alleles in reads_alleles:
+        m = len(alleles)
+        for a in range(m):
+            i, ai = alleles[a]
+            for b in range(a + 1, m):
+                j, aj = alleles[b]
+                if j - i > max_pair_span:
+                    break
+                key = (i, j)
+                counts = pair_counts.get(key)
+                if counts is None:
+                    counts = pair_counts[key] = [0, 0]
+                counts[ai ^ aj] += 1  # [cis, trans]
+
+    edges = []
+    for (i, j), (cis, trans) in pair_counts.items():
+        if cis + trans < min_link or cis == trans:
+            continue
+        edges.append((abs(cis - trans), i, j, 1 if trans > cis else 0))
+    # strongest linkage first; (i, j) tie-break keeps the result deterministic
+    edges.sort(key=lambda e: (-e[0], e[1], e[2]))
+
+    parent = np.arange(n_sites, dtype=np.int64)
+    parity = np.zeros(n_sites, dtype=np.int8)  # phase relative to parent
+
+    def find(x):
+        path = []
+        while parent[x] != x:
+            path.append(x)
+            x = parent[x]
+        root = x
+        # path compression: walking root-ward nodes first keeps each node's
+        # stored parity (relative to its old parent) valid when read
+        p = 0
+        for node in reversed(path):
+            p ^= parity[node]
+            parent[node] = root
+            parity[node] = p
+        return root, p
+
+    for _, i, j, orient in edges:
+        ri, pi = find(i)
+        rj, pj = find(j)
+        if ri == rj:
+            continue  # cycle: earlier (stronger) evidence wins
+        # want parity(i) ^ parity(j) == orient after union
+        parent[rj] = ri
+        parity[rj] = pi ^ pj ^ orient
+
+    phase = np.zeros(n_sites, dtype=np.int8)
+    block = np.zeros(n_sites, dtype=np.int64)
+    root_block: dict = {}
+    root_first_parity: dict = {}
+    next_block = 0
+    for i in range(n_sites):
+        r, p = find(i)
+        if r not in root_block:
+            root_block[r] = next_block
+            root_first_parity[r] = p
+            next_block += 1
+        block[i] = root_block[r]
+        phase[i] = p ^ root_first_parity[r]
+    return phase, block
+
+
+def switch_error_rate(phase, block, truth_phase):
+    """Fraction of consecutive same-block site pairs whose predicted relative
+    orientation disagrees with the truth (the standard switch-error metric
+    whatshap compare reports)."""
+    phase = np.asarray(phase)
+    block = np.asarray(block)
+    truth_phase = np.asarray(truth_phase)
+    same_block = block[1:] == block[:-1]
+    if not same_block.any():
+        return 0.0, 0
+    pred_flip = (phase[1:] ^ phase[:-1])[same_block]
+    true_flip = (truth_phase[1:] ^ truth_phase[:-1])[same_block]
+    n_pairs = int(same_block.sum())
+    return float((pred_flip != true_flip).sum()) / n_pairs, n_pairs
+
+
 def assign_read_haplotypes(reads_alleles, phase, block, min_votes=1):
     """Majority vote -> HP 1/2 per read (0 = untagged). Votes only count
     within the read's dominant phase block."""

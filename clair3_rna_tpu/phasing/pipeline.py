@@ -12,7 +12,8 @@ import numpy as np
 from clair3_rna_tpu.io.bam import BamReader, BamWriter
 from clair3_rna_tpu.io.vcf import VcfReader
 from clair3_rna_tpu.phasing.phase import (
-    assign_read_haplotypes, het_snvs_from_vcf, phase_sites, read_alleles,
+    assign_read_haplotypes, het_snvs_from_vcf, phase_sites_pairwise,
+    read_alleles,
 )
 
 logger = logging.getLogger(__name__)
@@ -46,7 +47,7 @@ def phase_and_haplotag(bam_path: str, ref_path: str, vcf_path: str,
                   if not (r.flag & exclude_flags) and r.mapq >= min_mq]
         alleles_per_read = [read_alleles(r, site_positions, site_lookup, sites)
                             for r in usable]
-        phase, block = phase_sites(alleles_per_read, len(sites))
+        phase, block = phase_sites_pairwise(alleles_per_read, len(sites))
         hp = assign_read_haplotypes(alleles_per_read, phase, block)
         hp_by_name = {r.name: h for r, h in zip(usable, hp)}
         for rec in records:

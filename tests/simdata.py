@@ -34,8 +34,13 @@ def random_genome(rng, contigs):
             for name, length in contigs}
 
 
-def plant_variants(rng, genome, n_per_contig=8, indel_fraction=0.3, region=None):
-    """Choose germline variants (SNPs + short indels) per contig."""
+def plant_variants(rng, genome, n_per_contig=8, indel_fraction=0.3, region=None,
+                   het_genotypes=((0, 1),)):
+    """Choose germline variants (SNPs + short indels) per contig.
+
+    het_genotypes lists the heterozygous phasings to draw from; pass
+    ((0, 1), (1, 0)) for phasing tests where the alt allele must land on
+    either haplotype (the default keeps historical datasets stable)."""
     variants = {}
     for name, seq in genome.items():
         lo, hi = region if region else (50, len(seq) - 50)
@@ -47,7 +52,7 @@ def plant_variants(rng, genome, n_per_contig=8, indel_fraction=0.3, region=None)
             if any(abs(pos - p) < 40 for p in chosen):
                 continue
             ref_base = seq[pos]
-            genotype = rng.choice([(0, 1), (1, 1)])
+            genotype = rng.choice(list(het_genotypes) + [(1, 1)])
             r = rng.random()
             if r > indel_fraction:
                 alt = rng.choice([b for b in BASES if b != ref_base])

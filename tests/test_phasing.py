@@ -1,0 +1,113 @@
+"""Phasing quality: switch error of the pairwise linkage phaser vs planted
+truth haplotypes, and its advantage over the adjacent-only chain phaser.
+
+The reference delegates this stage to whatshap/longphase
+(run_clair3_rna:729-801); these tests measure our in-framework replacement
+the way `whatshap compare` would (switch errors against truth phasing).
+"""
+
+import random
+
+import numpy as np
+
+from clair3_rna_tpu.phasing.phase import (
+    HetSite, assign_read_haplotypes, phase_sites, phase_sites_pairwise,
+    read_alleles, switch_error_rate,
+)
+from tests import simdata
+
+
+def test_pairwise_unionfind_orients_simple_triangle():
+    """Three sites, reads covering (0,1), (1,2) and (0,2): the long-range
+    pair must orient site 2 even when the adjacent link (1,2) is too weak."""
+    reads = (
+        [[(0, 0), (1, 1)]] * 5        # 0 and 1 trans-linked
+        + [[(0, 1), (2, 1)]] * 5      # 0 and 2 cis-linked
+        + [[(1, 1), (2, 0)]] * 1      # weak (below min_link) adjacent pair
+    )
+    phase, block = phase_sites_pairwise(reads, 3, min_link=2)
+    assert list(block) == [0, 0, 0]
+    assert phase[0] == 0
+    assert phase[1] == 1  # trans to site 0
+    assert phase[2] == 0  # cis to site 0 despite no usable adjacent link
+
+    # the adjacent-only phaser cannot link site 2 (its only neighbour link
+    # is below min_link) -- it starts a new block
+    phase_adj, block_adj = phase_sites(reads, 3, min_link=2)
+    assert block_adj[2] != block_adj[1]
+
+
+def test_switch_error_rate_metric():
+    phase = np.array([0, 1, 1, 0], np.int8)
+    block = np.array([0, 0, 0, 0], np.int64)
+    truth = np.array([0, 1, 0, 1], np.int8)
+    # relative flips: pred (1,0,1) vs truth (1,1,1) -> one switch at pair (1,2)
+    ser, n = switch_error_rate(phase, block, truth)
+    assert n == 3
+    assert abs(ser - 1 / 3) < 1e-9
+    # a global flip of the block is NOT a switch error
+    ser_flip, _ = switch_error_rate(1 - phase, block, 1 - truth)
+    assert ser_flip == ser
+
+
+def _phasing_dataset(tmp_path, seed=17, contig_len=60_000, n_variants=150,
+                     depth=30):
+    rng = random.Random(seed)
+    genome = simdata.random_genome(rng, [("chr1", contig_len)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=n_variants,
+                                      indel_fraction=0.0,
+                                      het_genotypes=((0, 1), (1, 0)))
+    bam_path = str(tmp_path / "reads.bam")
+    simdata.simulate_bam(bam_path, genome, variants, rng, depth=depth,
+                         with_hp=True)
+    return genome, variants, bam_path
+
+
+def test_pairwise_phaser_switch_error_vs_truth(tmp_path):
+    """On simulated reads with planted haplotypes the pairwise phaser's
+    switch error is low and no worse than the adjacent-only chain's, with
+    fewer (longer) phase blocks."""
+    from clair3_rna_tpu.io.bam import BamReader
+
+    genome, variants, bam_path = _phasing_dataset(tmp_path)
+    het = [v for v in variants["chr1"] if sorted(v.genotype) == [0, 1]
+           and len(v.ref) == 1 and len(v.alt) == 1]
+    sites = [HetSite(pos=v.pos, ref=v.ref, alt=v.alt) for v in het]
+    # truth phase: which haplotype carries the alt allele
+    truth_phase = np.array([v.genotype.index(1) for v in het], np.int8)
+    site_positions = np.array([s.pos for s in sites], np.int64)
+    lookup = {s.pos: i for i, s in enumerate(sites)}
+
+    bam = BamReader(bam_path)
+    usable = [r for r in bam.fetch("chr1") if not (r.flag & 2316)]
+    alleles = [read_alleles(r, site_positions, lookup, sites) for r in usable]
+
+    pw_phase, pw_block = phase_sites_pairwise(alleles, len(sites))
+    adj_phase, adj_block = phase_sites(alleles, len(sites))
+
+    pw_ser, pw_pairs = switch_error_rate(pw_phase, pw_block, truth_phase)
+    adj_ser, adj_pairs = switch_error_rate(adj_phase, adj_block, truth_phase)
+    assert pw_pairs > 50  # blocks actually span sites
+    assert pw_ser <= adj_ser + 1e-9
+    assert pw_ser < 0.05, f"pairwise switch error too high: {pw_ser:.3f}"
+    # pairwise linkage bridges weak adjacent links -> fewer, longer blocks
+    assert len(set(pw_block.tolist())) <= len(set(adj_block.tolist()))
+
+    # read-level haplotagging accuracy against the planted read haplotypes,
+    # scored per block with the block's majority orientation (a global flip
+    # within a block is not an error)
+    hp = assign_read_haplotypes(alleles, pw_phase, pw_block)
+    by_block = {}
+    for rec, alleles_one, h in zip(usable, alleles, hp):
+        if h == 0 or not alleles_one:
+            continue
+        b = pw_block[alleles_one[0][0]]
+        truth_hap = rec.tags["HP"]  # 1 or 2
+        by_block.setdefault(b, []).append((h, truth_hap))
+    n_ok = n_all = 0
+    for pairs in by_block.values():
+        agree = sum(1 for h, t in pairs if h == t)
+        n_ok += max(agree, len(pairs) - agree)
+        n_all += len(pairs)
+    assert n_all > len(usable) // 2, "too few reads haplotagged"
+    assert n_ok / n_all > 0.95, f"haplotag accuracy {n_ok / n_all:.3f}"

@@ -74,3 +74,82 @@ def test_sort_rows_semantics(tmp_path):
 def test_contig_sort_order():
     assert contig_sort_order(["chr10", "chr2", "weird", "chr1"]) == \
         ["chr1", "chr2", "chr10", "weird"]
+
+
+def test_wire_forward_matches_legacy_vcf(tmp_path):
+    """The uint8 wire + on-device negation/prescreen path produces the exact
+    VCF of the legacy signed-int16 path (pipeline.batch_wire +
+    models.network.make_wire_forward_fn)."""
+    import random
+
+    import numpy as np
+
+    from clair3_rna_tpu.caller.decode import CallConfig
+    from clair3_rna_tpu.caller.pipeline import run_calling
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.models.network import (init_params, make_forward_fn,
+                                               make_wire_forward_fn)
+    from tests import simdata
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=91, contig_len=30_000, n_variants=80, depth=30)
+    params = init_params(0)
+    _, legacy = make_forward_fn()
+    _, wire = make_wire_forward_fn()
+    for show_ref in (False, True):
+        outs = []
+        for fwd, name in ((legacy, "legacy"), (wire, "wire")):
+            out = str(tmp_path / f"{name}_{show_ref}.vcf")
+            run_calling(bam, fasta, out, cfg=PileupConfig(batch_size=128),
+                        call_cfg=CallConfig(show_ref=show_ref), params=params,
+                        forward=fwd, compress=False, progress=False)
+            outs.append([l for l in open(out) if not l.startswith("#")])
+        assert outs[0] == outs[1]
+        assert outs[0]
+
+
+def test_wire_forward_int16_fallback_exact():
+    """When magnitudes exceed uint8 range, batch_wire falls back to signed
+    int16 and the wire forward's probabilities match the legacy forward
+    bitwise."""
+    import numpy as np
+
+    from clair3_rna_tpu.caller.pipeline import batch_wire, batch_tensors
+    from clair3_rna_tpu.config import PileupConfig
+    from clair3_rna_tpu.models.network import (init_params, make_forward_fn,
+                                               make_wire_forward_fn)
+    from clair3_rna_tpu.pileup.builder import TensorRecord
+
+    rng = np.random.RandomState(5)
+    cfg = PileupConfig(batch_size=64)
+    records = []
+    for i in range(64):
+        seq = "".join(rng.choice(list("ACGT"), 33))
+        t = rng.randint(0, 300 if i % 3 else 600, (33, 18)).astype(np.int32)
+        codes = np.frombuffer(seq.encode(), np.uint8)
+        eff = np.array(["ACGT".index(c) for c in seq])
+        rows = np.arange(33)
+        t[rows, eff] = -np.abs(t[rows, eff])          # ref-channel negation
+        t[rows, eff + 9] = -np.abs(t[rows, eff + 9])
+        records.append(TensorRecord("chr1", 100 + i, seq, t, depth=30,
+                                    alt_info="30-RG 30"))
+    params = init_params(0)
+    _, legacy = make_forward_fn()
+    _, wire_fwd = make_wire_forward_fn()
+
+    wire, codes = batch_wire(records, cfg)
+    assert wire.dtype == np.int16  # magnitudes up to 600 force the fallback
+    probs_wire, needs = wire_fwd(params, wire, codes)
+    probs_legacy = legacy(params, batch_tensors(records, cfg))
+    np.testing.assert_array_equal(np.asarray(probs_wire),
+                                  np.asarray(probs_legacy))
+
+    # and the uint8 path on a <=255 batch
+    small = [TensorRecord(r.ctg_name, r.position, r.ref_seq,
+                          np.clip(r.tensor, -200, 200), depth=30,
+                          alt_info="30-RG 30") for r in records]
+    wire8, codes8 = batch_wire(small, cfg)
+    assert wire8.dtype == np.uint8
+    probs8 = wire_fwd(params, wire8, codes8)[0]
+    legacy8 = legacy(params, batch_tensors(small, cfg))
+    np.testing.assert_array_equal(np.asarray(probs8), np.asarray(legacy8))

@@ -118,3 +118,99 @@ def test_toolkit_subcommands(tmp_path, capsys):
     main(["concat_files", "--input_dir", str(frag_dir),
           "--output_fn", out_cat, "--prefix", "part_"])
     assert open(out_cat).read() == "#h\nrow1\nrow2\n"
+
+
+def test_call_variants_zstd_tensor_input(tmp_path):
+    """A .zst-compressed tensor file streams through call_variants like the
+    reference's `zstd -fdc` pipe (clair3_rna/utils.py:73-75)."""
+    import zstandard
+
+    fasta, bam, genome, variants = _make(tmp_path, seed=33)
+    from clair3_rna_tpu.models.network import init_params
+    from clair3_rna_tpu.models.params_io import save_params
+    weights = str(tmp_path / "w.npz")
+    save_params(weights, init_params(0))
+
+    tsv = str(tmp_path / "tensor.tsv")
+    main(["create_tensor_pileup", "--bam_fn", bam, "--ref_fn", fasta,
+          "--ctgName", "chr1", "--tensor_can_fn", tsv])
+    zst = tsv + ".zst"
+    with open(tsv, "rb") as fin, open(zst, "wb") as fout:
+        fout.write(zstandard.ZstdCompressor().compress(fin.read()))
+
+    plain_vcf = str(tmp_path / "plain.vcf")
+    zst_vcf = str(tmp_path / "zst.vcf")
+    main(["call_variants", "--tensor_fn", tsv, "--call_fn", plain_vcf,
+          "--model_path", weights, "--show_ref"])
+    main(["call_variants", "--tensor_fn", zst, "--call_fn", zst_vcf,
+          "--model_path", weights, "--show_ref"])
+    assert open(plain_vcf).read() == open(zst_vcf).read()
+    assert os.path.getsize(plain_vcf) > 0
+
+
+def test_ensemble_output_matches_reference(tmp_path):
+    """--output_for_ensemble row format parity vs the reference's
+    batch_output_for_ensemble (clair3_rna/call_variants.py:1023-1076) on
+    identical probabilities."""
+    import sys
+
+    import pytest
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference not available")
+    sys.path.insert(0, "/root/reference")
+    import clair3_rna.call_variants as cv
+
+    fasta, bam, genome, variants = _make(tmp_path, seed=34)
+    from clair3_rna_tpu.models.network import init_params
+    from clair3_rna_tpu.models.params_io import save_params
+    weights = str(tmp_path / "w.npz")
+    save_params(weights, init_params(0))
+
+    tsv = str(tmp_path / "tensor.tsv")
+    main(["create_tensor_pileup", "--bam_fn", bam, "--ref_fn", fasta,
+          "--ctgName", "chr1", "--tensor_can_fn", tsv])
+    ours = str(tmp_path / "ens.tsv")
+    main(["call_variants", "--tensor_fn", tsv, "--call_fn", ours,
+          "--model_path", weights, "--output_for_ensemble"])
+    our_rows = open(ours).read().splitlines()
+    assert our_rows and not our_rows[0].startswith("#")  # no VCF header
+
+    # reproduce with the reference formatter fed OUR probabilities
+    from clair3_rna_tpu.caller.tsv_interop import read_tensor_rows
+    from clair3_rna_tpu.models.params_io import load_params
+    from clair3_rna_tpu.models.network import make_wire_forward_fn
+    from clair3_rna_tpu.caller.pipeline import _WIRE_CODE
+    params = load_params(weights)
+    _, forward = make_wire_forward_fn()
+    captured = []
+    output_utilities = cv.OutputUtilities(
+        lambda *a, **k: None, captured.append,
+        lambda: None, lambda: None, lambda: None)
+    output_config = cv.OutputConfig(
+        is_show_reference=False, is_debug=False,
+        is_haploid_precise_mode_enabled=False,
+        is_haploid_sensitive_mode_enabled=False,
+        is_output_for_ensemble=True, quality_score_for_pass=None,
+        tensor_fn="PIPE", input_probabilities=False, add_indel_length=False,
+        gvcf=False, pileup=True, enable_long_indel=False,
+        maximum_variant_length_that_need_infer=50, keep_iupac_bases=False)
+    with open(tsv) as f:
+        for chroms, positions, refseqs, X, alt_infos in read_tensor_rows(f, 2048):
+            # pad to the CLI's batch shape: XLA results can differ by 1 ulp
+            # across batch shapes, and the %.6f format exposes that
+            n = len(X)
+            codes = _WIRE_CODE[np.frombuffer(
+                "".join(refseqs).encode(), dtype=np.uint8)].reshape(n, -1)
+            W = np.abs(X).astype(np.uint8)
+            if n < 2048:
+                W = np.concatenate([W, np.zeros((2048 - n,) + W.shape[1:],
+                                                W.dtype)])
+                codes = np.concatenate([codes, np.zeros(
+                    (2048 - n, codes.shape[1]), codes.dtype)])
+            probs = np.asarray(forward(params, W, codes)[0])[:n]
+            cv.batch_output_for_ensemble(
+                X, list(zip(chroms, map(str, positions), refseqs)),
+                [a.encode() for a in alt_infos],
+                (probs[:, :21], probs[:, 21:24]),
+                output_config, output_utilities)
+    assert our_rows == captured
