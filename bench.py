@@ -125,7 +125,7 @@ def bench_ours(fasta_path, bam_path):
     b = cfg.batch_size
     while b >= 64:
         np.asarray(forward(params, np.zeros((b, 33, 18), np.uint8),
-                           np.zeros((b, 33), np.int8))[0])
+                           np.zeros((b, 33), np.int8)))
         b //= 2
 
     out_path = os.path.join(os.path.dirname(bam_path), "bench_out.vcf")

@@ -72,9 +72,10 @@ def batch_wire(records, cfg: PileupConfig):
     seq_bytes = np.frombuffer(
         "".join(r.ref_seq for r in records).encode(), dtype=np.uint8)
     codes = _WIRE_CODE[seq_bytes].reshape(len(records), config.NO_OF_POSITIONS)
-    peak = int(np.abs(X).max()) if len(X) else 0
+    mags = np.abs(X)
+    peak = int(mags.max()) if len(X) else 0
     if peak <= 255:
-        wire = np.abs(X).astype(np.uint8)
+        wire = mags.astype(np.uint8)
     elif peak <= 32767:
         wire = X.astype(np.int16)
     else:
@@ -165,17 +166,17 @@ def collect_rows(handle, call_cfg: CallConfig,
     records, pending, n = handle
     stats = stats if stats is not None else CallStats()
     t0 = time.time()
-    probs = np.empty((n, 24 + (66 if call_cfg.add_indel_length else 0)),
-                     np.float32)
+    n_probs = 24 + (66 if call_cfg.add_indel_length else 0)
+    probs = np.empty((n, n_probs), np.float32)
     device_mask = None
     for lo, hi, out in pending:
-        if isinstance(out, tuple):  # wire forward: (probs, needs_decode)
+        arr = np.asarray(out)[:hi - lo]
+        if arr.shape[1] == n_probs + 1:  # wire forward: mask packed as col -1
             if device_mask is None:
                 device_mask = np.empty(n, dtype=bool)
-            probs[lo:hi] = np.asarray(out[0])[:hi - lo]
-            device_mask[lo:hi] = np.asarray(out[1])[:hi - lo]
-        else:
-            probs[lo:hi] = np.asarray(out)[:hi - lo]
+            device_mask[lo:hi] = arr[:, -1] != 0.0
+            arr = arr[:, :-1]
+        probs[lo:hi] = arr
     stats.infer_s += time.time() - t0
 
     t0 = time.time()

@@ -150,9 +150,9 @@ def call_variants_from_tsv(in_stream, out_stream, *, cfg: PileupConfig,
                     (cfg.batch_size - n,) + W.shape[1:], W.dtype)])
                 codes = np.concatenate([codes, np.zeros(
                     (cfg.batch_size - n, codes.shape[1]), codes.dtype)])
-            out_pair = forward(params, W, codes)
-            probs = np.asarray(out_pair[0])[:n]
-            device_mask = np.asarray(out_pair[1])[:n]
+            out_arr = np.asarray(forward(params, W, codes))[:n]
+            probs = out_arr[:, :-1]
+            device_mask = out_arr[:, -1] != 0.0
         elif n < cfg.batch_size:
             # int16 is lossless post-renorm and halves device transfer
             X = X.astype(np.int16)

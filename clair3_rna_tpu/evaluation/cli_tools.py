@@ -14,6 +14,12 @@ def add_tool_parsers(subparsers):
                    help="count allele matches as TP regardless of zygosity")
     p.add_argument("--best_f1", action="store_true",
                    help="sweep QUAL cutoffs for the best F1")
+    p.add_argument("--roc_fn", default=None,
+                   help="write a qual-threshold ROC table "
+                        "(src/compare_vcf.py --roc_fn equivalent)")
+    p.add_argument("--output_dir", default=None,
+                   help="dump per-class tp/fp/fn/fp_fn VCFs here "
+                        "(src/compare_vcf.py --output_dir equivalent)")
 
     t = subparsers.add_parser("phase_bam",
                               help="read-backed phasing + HP haplotagging")
@@ -87,18 +93,27 @@ def add_tool_parsers(subparsers):
 
     m = subparsers.add_parser(
         "calculate_overall_metrics",
-        help="coverage/AF-stratified P/R/F1 vs truth "
-             "(src/calculate_overall_metrics.py equivalent)")
-    m.add_argument("--vcf_fn", required=True, help="called VCF")
-    m.add_argument("--truth_vcf_fn", required=True)
-    m.add_argument("--truths_fn", default=None,
+        help="coverage/AF-stratified P/R/F1 vs truth, or hap.py-annotated "
+             "VCF ingestion (src/calculate_overall_metrics.py equivalent)")
+    m.add_argument("--vcf_fn", "--input_vcf_fn", dest="vcf_fn", default=None,
+                   help="called VCF")
+    m.add_argument("--truth_vcf_fn", default=None)
+    m.add_argument("--happy_vcf_fn", default=None,
+                   help="hap.py-annotated output VCF (BD/BI/BVT/BK tags); "
+                        "the reference's published-metrics pathway")
+    m.add_argument("--truths_fn", "--truths_info_fn", dest="truths_fn",
+                   default=None,
                    help="support file from cal_truth_vcf_af_distribution")
     m.add_argument("--bed_fn", default=None)
     m.add_argument("--ctg_name", default=None)
     m.add_argument("--min_coverage", type=int, default=None)
     m.add_argument("--min_alt_coverage", type=int, default=None)
     m.add_argument("--min_af", type=float, default=None)
+    m.add_argument("--min_qual", type=float, default=None)
+    m.add_argument("--input_filter_tag", default=None)
     m.add_argument("--skip_genotyping", action="store_true")
+    m.add_argument("--output_fn", default=None)
+    m.add_argument("--output_best_f1_score", action="store_true")
 
     g = subparsers.add_parser(
         "add_back_missing_variants_in_genotyping",
@@ -124,7 +139,8 @@ def add_tool_parsers(subparsers):
 def dispatch_tool(args) -> bool:
     if args.command == "compare_vcf":
         from clair3_rna_tpu.evaluation.compare_vcf import (
-            best_f1_qual_sweep, compare_vcf, print_report)
+            best_f1_qual_sweep, compare_vcf, dump_site_vcfs, print_report,
+            write_roc)
         if args.best_f1:
             q, result = best_f1_qual_sweep(
                 args.vcf_fn, args.truth_vcf_fn, bed_fn=args.bed_fn,
@@ -136,6 +152,14 @@ def dispatch_tool(args) -> bool:
                 ctg_name=args.ctg_name, min_qual=args.qual,
                 skip_genotyping=args.skip_genotyping)
             print_report(result)
+        if args.roc_fn:
+            write_roc(result, args.vcf_fn, args.roc_fn,
+                      ctg_name=args.ctg_name)
+            print(f"[INFO] ROC table -> {args.roc_fn}")
+        if args.output_dir:
+            paths = dump_site_vcfs(result, args.vcf_fn, args.truth_vcf_fn,
+                                   args.output_dir, ctg_name=args.ctg_name)
+            print(f"[INFO] per-class VCFs -> {', '.join(paths.values())}")
         return True
     if args.command == "phase_bam":
         from clair3_rna_tpu.phasing.pipeline import phase_and_haplotag
@@ -205,9 +229,30 @@ def dispatch_tool(args) -> bool:
         return True
     if args.command == "calculate_overall_metrics":
         from clair3_rna_tpu.evaluation.af_distribution import load_truths_file
+        support = load_truths_file(args.truths_fn) if args.truths_fn else None
+        if args.happy_vcf_fn:
+            from clair3_rna_tpu.evaluation.overall_metrics import (
+                best_f1_sweep, format_happy_table, happy_metrics)
+            counts, sweep_inputs = happy_metrics(
+                args.happy_vcf_fn, ctg_name=args.ctg_name,
+                truths_support=support, input_vcf_fn=args.vcf_fn,
+                input_filter_tag=args.input_filter_tag,
+                min_qual=args.min_qual, min_coverage=args.min_coverage,
+                min_alt_coverage=args.min_alt_coverage, min_af=args.min_af,
+                skip_genotyping=args.skip_genotyping)
+            sweep = best_f1_sweep(*sweep_inputs) \
+                if args.output_best_f1_score else None
+            table = format_happy_table(counts, sweep)
+            if args.output_fn:
+                with open(args.output_fn, "w") as f:
+                    f.write(table + "\n")
+            print(table)
+            return True
         from clair3_rna_tpu.evaluation.overall_metrics import (
             print_table, stratified_metrics)
-        support = load_truths_file(args.truths_fn) if args.truths_fn else None
+        if not args.vcf_fn or not args.truth_vcf_fn:
+            raise SystemExit("--vcf_fn and --truth_vcf_fn required "
+                             "(or pass --happy_vcf_fn)")
         results = stratified_metrics(
             args.vcf_fn, args.truth_vcf_fn, truths_support=support,
             bed_fn=args.bed_fn, ctg_name=args.ctg_name,

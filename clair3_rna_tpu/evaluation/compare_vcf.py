@@ -138,6 +138,64 @@ def best_f1_qual_sweep(call_fn, truth_fn, bed_fn=None, ctg_name=None,
     return best
 
 
+def write_roc(result: Comparison, call_fn, roc_fn, ctg_name=None):
+    """Qual-threshold ROC rows "qual  precision  recall  f1", one per
+    distinct TP/FP qual, strongest cutoff first
+    (src/compare_vcf.py:450-517; the caller-specific qual extractors there
+    serve third-party somatic callers and are out of scope -- QUAL column
+    only)."""
+    calls = VcfReader(call_fn, ctg_name=ctg_name, show_ref=False)
+    qual_of = {(r.ctg_name, r.pos): (r.qual if r.qual is not None else 0.0)
+               for r in calls.variant_dict.values()}
+    tp_quals = [qual_of.get((c, p), 0.0) for c, p, *_ in result.tp_sites]
+    fp_quals = [qual_of.get((c, p), 0.0) for c, p, *_ in result.fp_sites]
+    tp_total = len(tp_quals)
+    fn_base = len(result.fn_sites)
+    with open(roc_fn, "w") as f:
+        for cut in sorted(set(tp_quals + fp_quals), reverse=True):
+            tp = sum(1 for q in tp_quals if q >= cut)
+            fp = sum(1 for q in fp_quals if q >= cut)
+            fn = fn_base + (tp_total - tp)
+            m = Metrics(tp=tp, fp=fp, fn=fn)
+            f.write("\t".join(str(round(v, 4)) for v in
+                              (cut, m.precision, m.recall, m.f1)) + "\n")
+    return roc_fn
+
+
+def dump_site_vcfs(result: Comparison, call_fn, truth_fn, output_dir,
+                   ctg_name=None):
+    """Write per-class VCFs fp.vcf / fn.vcf / fp_fn.vcf / tp.vcf with the
+    original rows (src/compare_vcf.py:536-553): FP rows come from the calls,
+    FN rows from the truth, fp_fn is their union."""
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    calls = VcfReader(call_fn, ctg_name=ctg_name, show_ref=False,
+                      keep_row_str=True)
+    truth = VcfReader(truth_fn, ctg_name=ctg_name, show_ref=False,
+                      keep_row_str=True)
+
+    def rows_for(sites):
+        out = []
+        for c, p, *_ in sites:
+            rec = calls.variant_dict.get((c, p)) \
+                or truth.variant_dict.get((c, p))
+            if rec is not None and rec.raw:
+                out.append(rec.raw if rec.raw.endswith("\n")
+                           else rec.raw + "\n")
+        return out
+
+    paths = {}
+    fp_fn_sites = list(result.fp_sites) + list(result.fn_sites)
+    for name, sites in (("fp", result.fp_sites), ("fn", result.fn_sites),
+                        ("fp_fn", fp_fn_sites), ("tp", result.tp_sites)):
+        path = os.path.join(output_dir, f"{name}.vcf")
+        with open(path, "w") as f:
+            f.writelines(rows_for(sites))
+        paths[name] = path
+    return paths
+
+
 def print_report(result: Comparison, title="comparison"):
     print(f"[{title}]")
     print(result.overall.row("Overall"))

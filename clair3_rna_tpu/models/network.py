@@ -169,9 +169,10 @@ def make_wire_forward_fn(add_indel_length: bool = False,
          (clair3_rna/call_variants.py:540-542) so certain-reference sites
          skip host decode without any host-side string work.
 
-    Returns (model, forward) with forward(params, wire, codes) ->
-    (probabilities, needs_decode). forward.wire marks the capability for the
-    pipeline's dispatch.
+    Returns (model, forward) with forward(params, wire, codes) -> a single
+    [B, n_probs + 1] array: the probabilities with the needs_decode verdict
+    appended as a trailing 0/1 column (one array -> one host fetch).
+    forward.wire marks the capability for the pipeline's dispatch.
     """
     model = PileupNet(add_indel_length=add_indel_length,
                       compute_dtype=compute_dtype)
@@ -183,7 +184,11 @@ def make_wire_forward_fn(add_indel_length: bool = False,
         ref_prob = jnp.take_along_axis(probs[:, :21], ref_idx[:, None],
                                        axis=1)[:, 0]
         certain_ref = (probs[:, 21] >= 0.5) & (ref_prob >= 0.5)
-        return probs, ~certain_ref
+        # pack the prescreen verdict as one extra output column: a single
+        # device array means ONE host fetch per batch (each fetch pays the
+        # full link round-trip latency, which dominates on a tunnelled chip)
+        return jnp.concatenate(
+            [probs, (~certain_ref).astype(jnp.float32)[:, None]], axis=-1)
 
     @jax.jit
     def forward_u8(params, mags, codes):

@@ -139,10 +139,9 @@ def test_wire_forward_int16_fallback_exact():
 
     wire, codes = batch_wire(records, cfg)
     assert wire.dtype == np.int16  # magnitudes up to 600 force the fallback
-    probs_wire, needs = wire_fwd(params, wire, codes)
+    probs_wire = np.asarray(wire_fwd(params, wire, codes))[:, :-1]
     probs_legacy = legacy(params, batch_tensors(records, cfg))
-    np.testing.assert_array_equal(np.asarray(probs_wire),
-                                  np.asarray(probs_legacy))
+    np.testing.assert_array_equal(probs_wire, np.asarray(probs_legacy))
 
     # and the uint8 path on a <=255 batch
     small = [TensorRecord(r.ctg_name, r.position, r.ref_seq,
@@ -150,6 +149,6 @@ def test_wire_forward_int16_fallback_exact():
                           alt_info="30-RG 30") for r in records]
     wire8, codes8 = batch_wire(small, cfg)
     assert wire8.dtype == np.uint8
-    probs8 = wire_fwd(params, wire8, codes8)[0]
+    probs8 = np.asarray(wire_fwd(params, wire8, codes8))[:, :-1]
     legacy8 = legacy(params, batch_tensors(small, cfg))
-    np.testing.assert_array_equal(np.asarray(probs8), np.asarray(legacy8))
+    np.testing.assert_array_equal(probs8, np.asarray(legacy8))

@@ -160,3 +160,48 @@ def test_truth_support_with_hp(tmp_path):
     out = write_truths_file(records, str(tmp_path / "truths"))
     support = load_truths_file(out)   # HP column must not break the loader
     assert len(support) == len(records)
+
+
+def test_compare_vcf_roc_and_site_dumps(tmp_path):
+    """--roc_fn qual-sweep table and --output_dir per-class VCF dumps
+    (src/compare_vcf.py:450-553 capability)."""
+    header = ("##fileformat=VCFv4.2\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+    call_fn = str(tmp_path / "calls.vcf")
+    truth_fn = str(tmp_path / "truth.vcf")
+    with open(call_fn, "w") as f:
+        f.write(header)
+        f.write("chr1\t100\t.\tA\tG\t30.0\tPASS\t.\tGT\t0/1\n")   # TP
+        f.write("chr1\t200\t.\tC\tT\t5.0\tPASS\t.\tGT\t0/1\n")    # FP
+        f.write("chr1\t300\t.\tG\tA\t12.0\tPASS\t.\tGT\t1/1\n")   # TP
+    with open(truth_fn, "w") as f:
+        f.write(header)
+        f.write("chr1\t100\t.\tA\tG\t60\tPASS\t.\tGT\t0/1\n")
+        f.write("chr1\t300\t.\tG\tA\t60\tPASS\t.\tGT\t1/1\n")
+        f.write("chr1\t400\t.\tT\tC\t60\tPASS\t.\tGT\t0/1\n")     # FN
+
+    from clair3_rna_tpu.cli import main
+    roc_fn = str(tmp_path / "roc.tsv")
+    out_dir = str(tmp_path / "classes")
+    main(["compare_vcf", "--vcf_fn", call_fn, "--truth_vcf_fn", truth_fn,
+          "--roc_fn", roc_fn, "--output_dir", out_dir])
+
+    rows = [l.split("\t") for l in open(roc_fn).read().splitlines()]
+    assert len(rows) == 3  # distinct quals 30, 12, 5
+    quals = [float(r[0]) for r in rows]
+    assert quals == sorted(quals, reverse=True)
+    # strictest cutoff (30): tp=1 fp=0 fn=2 -> precision 1.0
+    assert float(rows[0][1]) == 1.0
+    # loosest cutoff (5): tp=2 fp=1 fn=1
+    assert float(rows[-1][1]) == round(2 / 3, 4)
+    assert float(rows[-1][2]) == round(2 / 3, 4)
+
+    import os
+    fp_rows = open(os.path.join(out_dir, "fp.vcf")).read()
+    fn_rows = open(os.path.join(out_dir, "fn.vcf")).read()
+    tp_rows = open(os.path.join(out_dir, "tp.vcf")).read()
+    fp_fn_rows = open(os.path.join(out_dir, "fp_fn.vcf")).read()
+    assert "chr1\t200" in fp_rows and "chr1\t100" not in fp_rows
+    assert "chr1\t400" in fn_rows
+    assert "chr1\t100" in tp_rows and "chr1\t300" in tp_rows
+    assert "chr1\t200" in fp_fn_rows and "chr1\t400" in fp_fn_rows

@@ -207,7 +207,7 @@ def test_ensemble_output_matches_reference(tmp_path):
                                                 W.dtype)])
                 codes = np.concatenate([codes, np.zeros(
                     (2048 - n, codes.shape[1]), codes.dtype)])
-            probs = np.asarray(forward(params, W, codes)[0])[:n]
+            probs = np.asarray(forward(params, W, codes))[:n, :-1]
             cv.batch_output_for_ensemble(
                 X, list(zip(chroms, map(str, positions), refseqs)),
                 [a.encode() for a in alt_infos],
