@@ -169,3 +169,116 @@ def test_decode_parity_random_fuzz(reference_path):
         our_rows = _our_rows(ref33, cases, add_indel, True)
         for i, (a, b) in enumerate(zip(our_rows, ref_rows)):
             assert a == b, f"indel={add_indel} case {i}:\nours: {a}\nref : {b}"
+
+
+def _reference_rows_flags(ref33, cases, *, show_ref=True, haploid_precise=False,
+                          haploid_sensitive=False, keep_iupac_bases=False,
+                          enable_long_indel=False):
+    """Reference output_with with the previously-untested decode modes
+    (clair3_rna/call_variants.py:1117-1392 flag branches)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import clair3_rna.call_variants as cv
+
+    captured = []
+    output_utilities = cv.OutputUtilities(
+        print_debug_message=lambda *a, **k: None,
+        output=captured.append,
+        output_header=lambda: None,
+        close_opened_files=lambda: None,
+        gen_output_file=lambda: None,
+    )
+    max_len = 100000 if enable_long_indel else 50
+    output_config = cv.OutputConfig(
+        is_show_reference=show_ref, is_debug=False,
+        is_haploid_precise_mode_enabled=haploid_precise,
+        is_haploid_sensitive_mode_enabled=haploid_sensitive,
+        is_output_for_ensemble=False, quality_score_for_pass=None,
+        tensor_fn="PIPE", input_probabilities=False,
+        add_indel_length=False, gvcf=False, pileup=True,
+        enable_long_indel=enable_long_indel,
+        maximum_variant_length_that_need_infer=max_len,
+        keep_iupac_bases=keep_iupac_bases,
+    )
+    rows = []
+    for i, ((gt21, geno, vl1, vl2), alt_info) in enumerate(cases):
+        captured.clear()
+        cv.output_with(f"chr1:{1000 + i}:{ref33}", alt_info, gt21, geno,
+                       0, 0, output_config, output_utilities)
+        rows.append(captured[0] if captured else None)
+    return rows
+
+
+def _our_rows_flags(ref33, cases, *, show_ref=True, haploid_precise=False,
+                    haploid_sensitive=False, keep_iupac_bases=False,
+                    enable_long_indel=False):
+    from clair3_rna_tpu.caller.decode import CallConfig, decode_one
+
+    call_cfg = CallConfig(show_ref=show_ref, haploid_precise=haploid_precise,
+                          haploid_sensitive=haploid_sensitive,
+                          keep_iupac_bases=keep_iupac_bases,
+                          enable_long_indel=enable_long_indel)
+    rows = []
+    for i, ((gt21, geno, vl1, vl2), alt_info) in enumerate(cases):
+        rows.append(decode_one("chr1", 1000 + i, ref33, alt_info, gt21, geno,
+                               None, None, call_cfg))
+    return rows
+
+
+def _mode_fuzz_cases(rng, n=250, long_indel=False):
+    cases = []
+    for _ in range(n):
+        gt21 = _softmax(rng.randn(21).astype(np.float32) * rng.uniform(0.5, 6))
+        geno = _softmax(rng.randn(3).astype(np.float32) * rng.uniform(0.5, 6))
+        vl1 = _softmax(rng.randn(33).astype(np.float32) * 3)
+        vl2 = _softmax(rng.randn(33).astype(np.float32) * 3)
+        entries = []
+        depth = rng.randint(0, 60)
+        for base in "AGT":
+            if rng.rand() < 0.6:
+                entries.append(f"X{base} {rng.randint(1, 20)}")
+        if rng.rand() < 0.5:
+            ins_len = rng.randint(52, 80) if long_indel and rng.rand() < 0.5 \
+                else rng.randint(1, 4)
+            ins = "".join("ACGT"[rng.randint(4)] for _ in range(ins_len))
+            entries.append(f"IC{ins} {rng.randint(1, 10)}")
+        if rng.rand() < 0.5:
+            del_len = rng.randint(52, 80) if long_indel and rng.rand() < 0.5 \
+                else rng.randint(1, 4)
+            dseq = "".join("ACGT"[rng.randint(4)] for _ in range(del_len))
+            entries.append(f"D{dseq} {rng.randint(1, 10)}")
+        if rng.rand() < 0.8:
+            entries.append(f"RC {rng.randint(1, 30)}")
+        alt_info = f"{depth}-" + " ".join(entries)
+        cases.append(((gt21, geno, vl1, vl2), alt_info))
+    return cases
+
+
+@requires_reference
+@pytest.mark.parametrize("mode", ["haploid_precise", "haploid_sensitive",
+                                  "keep_iupac_bases", "enable_long_indel"])
+def test_decode_parity_modes(reference_path, mode):
+    """The four previously-untested decode-mode branches, fuzzed against the
+    reference oracle (clair3_rna/call_variants.py:1117-1392)."""
+    rng = np.random.RandomState(99)
+    if mode == "keep_iupac_bases":
+        # IUPAC center base exercises convert_iupac_to_n vs pass-through
+        ref33 = "ACGTACGTACGTACGT" + "R" + "TACGTACGTACGTACG"
+    else:
+        ref33 = "ACGTACGTACGTACGT" + "C" + "TACGTACGTACGTACG"
+    cases = _mode_fuzz_cases(rng, long_indel=(mode == "enable_long_indel"))
+    flags = {mode: True}
+    ref_rows = _reference_rows_flags(ref33, cases, **flags)
+    our_rows = _our_rows_flags(ref33, cases, **flags)
+    n_rows = sum(1 for r in our_rows if r is not None)
+    assert n_rows > 20  # the mode must not suppress everything
+    for i, (a, b) in enumerate(zip(our_rows, ref_rows)):
+        assert a == b, f"{mode} case {i}:\nours: {a}\nref : {b}"
+    # and with the flag OFF the same cases still agree (guards interactions)
+    ref_off = _reference_rows_flags(ref33, cases)
+    our_off = _our_rows_flags(ref33, cases)
+    for i, (a, b) in enumerate(zip(our_off, ref_off)):
+        assert a == b, f"{mode}=off case {i}:\nours: {a}\nref : {b}"
+    # the mode must have actually changed some outputs, or the parity above
+    # proves nothing about the branch
+    assert our_rows != our_off, f"{mode} had no observable effect"

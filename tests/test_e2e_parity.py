@@ -21,7 +21,8 @@ from tests.conftest import requires_reference
 from tests.ref_harness import reference_tensor_rows
 
 
-def _reference_call_chain(tensor_rows, tf_model, show_ref):
+def _reference_call_chain(tensor_rows, tf_model, show_ref,
+                          add_indel_length=False):
     """Reference utils.tensor_generator_from + call_variants.batch_output."""
     import sys
     sys.path.insert(0, "/root/reference")
@@ -42,7 +43,7 @@ def _reference_call_chain(tensor_rows, tf_model, show_ref):
         is_haploid_sensitive_mode_enabled=False,
         is_output_for_ensemble=False, quality_score_for_pass=None,
         tensor_fn="PIPE", input_probabilities=False,
-        add_indel_length=False, gvcf=False, pileup=True,
+        add_indel_length=add_indel_length, gvcf=False, pileup=True,
         enable_long_indel=False,
         maximum_variant_length_that_need_infer=50,
         keep_iupac_bases=False,
@@ -158,4 +159,35 @@ def test_e2e_high_depth_renormalization(tmp_path, reference_path):
     ref_rows = _reference_call_chain(
         reference_tensor_rows(bam_path, fasta_path, "chr1", 0, 1500),
         tf_model, True)
+    _assert_rows_match(our_rows, ref_rows)
+
+
+@requires_reference
+def test_e2e_calling_parity_with_indel_length(tmp_path, reference_path):
+    """Full chain with the variant-length heads enabled (add_indel_length:
+    the four-softmax network layout, clair3_rna/model.py:146-170, and the
+    length-aware decode paths)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from clair3_rna.model import Clair3_P
+    from clair3_rna_tpu.models.convert import params_from_keras_model
+    from clair3_rna_tpu.models.network import make_forward_fn
+
+    fasta_path, bam_path, genome, variants = simdata.make_dataset(
+        tmp_path, seed=21, contig_len=6000, n_variants=14, depth=30)
+    tf_model = Clair3_P(add_indel_length=True, predict=True)
+    tf_model(np.zeros((1, 33, 18), np.int32))
+    params = params_from_keras_model(tf_model, add_indel_length=True)
+    _, forward = make_forward_fn(add_indel_length=True)
+
+    cfg = PileupConfig(batch_size=64)
+    call_cfg = CallConfig(show_ref=True, add_indel_length=True)
+    task = ChunkTask("chr1", 0, 6000)
+    records = build_chunk_tensors(BamReader(bam_path), FastaFile(fasta_path),
+                                  task, cfg)
+    assert len(records) > 10
+    our_rows = call_tensor_records(records, forward, params, cfg, call_cfg)
+    ref_rows = _reference_call_chain(
+        reference_tensor_rows(bam_path, fasta_path, "chr1", 0, 6000),
+        tf_model, True, add_indel_length=True)
     _assert_rows_match(our_rows, ref_rows)

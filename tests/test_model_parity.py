@@ -66,3 +66,36 @@ def test_init_and_shapes():
     out = np.asarray(forward(params, x))
     assert out.shape == (3, 24)
     np.testing.assert_allclose(out[:, :21].sum(-1), 1.0, rtol=1e-5)
+
+
+@requires_reference
+@pytest.mark.parametrize("add_indel_length", [False, True])
+def test_params_from_tf_checkpoint_on_disk(reference_path, tmp_path,
+                                           add_indel_length):
+    """Round-trip through an ON-DISK TF checkpoint: build the reference
+    Clair3_P, save_weights (.index/.data pair -- the format the released
+    models ship in, run_clair3_rna:488-495), convert via resolve_params, and
+    check forward parity. This is the path real users hit via --model_path."""
+    import numpy as np
+
+    import tensorflow as tf
+
+    m = _tf_model(add_indel_length)
+    x = np.random.RandomState(3).randint(
+        -30, 30, (8, 33, 18)).astype(np.int32)
+    ref_out = np.asarray(m(x))
+
+    # TF-format object checkpoint: the same .index/.data pair layout the
+    # released clair3_rna_models/<platform>/variables files use (Keras 3's
+    # save_weights no longer writes it, so go through tf.train.Checkpoint --
+    # the mechanism TF2 Keras save_weights used internally)
+    prefix = str(tmp_path / "variables" / "variables")
+    tf.train.Checkpoint(model=m).write(prefix)
+    assert (tmp_path / "variables" / "variables.index").exists()
+
+    from clair3_rna_tpu.models.network import make_forward_fn
+    from clair3_rna_tpu.models.params_io import resolve_params
+    params = resolve_params(prefix, add_indel_length=add_indel_length)
+    _, forward = make_forward_fn(add_indel_length=add_indel_length)
+    our_out = np.asarray(forward(params, x))
+    np.testing.assert_allclose(our_out, ref_out, rtol=2e-4, atol=1e-6)
