@@ -27,23 +27,39 @@ CONTIG_LEN = 1_200_000
 DEPTH = 35
 N_VARIANTS = 6600
 SEED = 1234
-N_TIMED_RUNS = 3  # report the best run (the 2-vCPU host is noisy)
+N_TIMED_RUNS = 5  # report best AND median (the 2-vCPU host is noisy)
+DATA_DIR = os.path.join(REPO, ".bench_data")  # regenerable, gitignored
 
 
-def make_data(tmpdir):
+def _dataset(tag, contig_len, depth, n_variants, splice=True):
+    """Build (or reuse from .bench_data) one synthetic dataset."""
     from tests import simdata
     from clair3_rna_tpu.io.fasta import write_fasta
 
+    d = os.path.join(DATA_DIR, f"{tag}_{contig_len}_{depth}_{n_variants}_{SEED}")
+    fasta_path = os.path.join(d, "ref.fa")
+    bam_path = os.path.join(d, "reads.bam")
+    if os.path.exists(fasta_path) and os.path.exists(bam_path):
+        return fasta_path, bam_path
+    tmp = d + ".tmp"  # build in a staging dir; publish atomically by rename
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     rng = random.Random(SEED)
-    genome = simdata.random_genome(rng, [("chr1", CONTIG_LEN)])
-    variants = simdata.plant_variants(rng, genome, n_per_contig=N_VARIANTS)
-    fasta_path = os.path.join(tmpdir, "ref.fa")
-    bam_path = os.path.join(tmpdir, "reads.bam")
-    write_fasta(fasta_path, genome)
-    mid = CONTIG_LEN // 2
-    simdata.simulate_bam(bam_path, genome, variants, rng, depth=DEPTH,
-                         splice_sites={"chr1": [(mid - 2000, mid + 3000)]})
+    genome = simdata.random_genome(rng, [("chr1", contig_len)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=n_variants)
+    write_fasta(os.path.join(tmp, "ref.fa"), genome)
+    mid = contig_len // 2
+    simdata.simulate_bam(
+        os.path.join(tmp, "reads.bam"), genome, variants, rng, depth=depth,
+        splice_sites={"chr1": [(mid - 2000, mid + 3000)]} if splice else None)
+    shutil.rmtree(d, ignore_errors=True)
+    os.rename(tmp, d)
     return fasta_path, bam_path
+
+
+def make_data(tmpdir=None):
+    return _dataset("main", CONTIG_LEN, DEPTH, N_VARIANTS)
 
 
 WEIGHTS = os.path.join(REPO, "BENCH_WEIGHTS.npz")
@@ -128,24 +144,118 @@ def bench_ours(fasta_path, bam_path):
                            np.zeros((b, 33), np.int8)))
         b //= 2
 
-    out_path = os.path.join(os.path.dirname(bam_path), "bench_out.vcf")
-    # one BAM open per process, as in production (a whole-genome run streams
-    # thousands of chunks from a single open); the open cost is reported once
+    result = _timed_runs(bam_path, fasta_path, cfg, call_cfg, params,
+                         forward, n_runs=N_TIMED_RUNS)
+
+    # secondary configs (one timed run each; VCF content identical rules
+    # still hold -- these exist to keep the renormalization-active and
+    # sustained multi-chunk regimes measured every round):
+    # high_depth: depth 260 > 1.5*max_depth(144) -> renorm path active
+    hd_fasta, hd_bam = _dataset("high_depth", 150_000, 260, 800)
+    result["high_depth"] = _timed_runs(hd_bam, hd_fasta, cfg, call_cfg,
+                                       params, forward, n_runs=1)
+    # sustained: 5 Mb, 50 chunks, one pass, bam open included in its wall
+    su_fasta, su_bam = _dataset("sustained", 5_000_000, DEPTH, 27_000)
+    result["sustained_5mb"] = _timed_runs(su_bam, su_fasta, cfg, call_cfg,
+                                          params, forward, n_runs=1,
+                                          include_open=True)
+    # fused TPU-resident path (ops/fused_pileup): end-to-end (events
+    # extracted + shipped per chunk) and device-only (arrays pre-staged in
+    # HBM -- the TPU-resident deployment this path exists for)
+    try:
+        os.environ["CLAIR3_RNA_TPU_PILEUP_BACKEND"] = "fused"
+        _timed_runs(bam_path, fasta_path, cfg, call_cfg, params, forward,
+                    n_runs=1)  # warm fused compilations
+        result["fused_e2e"] = _timed_runs(bam_path, fasta_path, cfg,
+                                          call_cfg, params, forward,
+                                          n_runs=1)
+    finally:
+        os.environ.pop("CLAIR3_RNA_TPU_PILEUP_BACKEND", None)
+    result["fused_device_only"] = _bench_fused_device(bam_path, fasta_path,
+                                                      params, cfg)
+    return result
+
+
+def _bench_fused_device(bam_path, fasta_path, params, cfg):
+    """Device-side throughput of the fused jit with pre-staged HBM arrays:
+    what the north-star TPU-resident pipeline would sustain per chip once
+    events live in HBM (no host extraction or link transfer in the timed
+    region)."""
+    import jax
+    import numpy as np
+    from clair3_rna_tpu import config as _c
+    from clair3_rna_tpu.caller.decode import CallConfig
+    from clair3_rna_tpu.io.fasta import FastaFile
+    from clair3_rna_tpu.ops.fused_pileup import FusedChunkCaller, stage_chunk
+    from clair3_rna_tpu.pileup.chunk import (extract_region_events, open_bam,
+                                             plan_chunks, ref_codes_from)
+
+    fasta = FastaFile(fasta_path)
+    bam = open_bam(bam_path)
+    caller = FusedChunkCaller(params, cfg, CallConfig(show_ref=False))
+    staged_dev = []
+    n_events = 0
+    n_cands = 0
+    for task in plan_chunks(fasta, contigs=["chr1"], chunk_size=100_000):
+        contig_len = fasta.contig_length(task.ctg_name)
+        row_lo = max(0, task.start - 33)
+        row_hi = min(contig_len, task.end + 33)
+        ref_lo = max(0, task.start - _c.EXPAND_REFERENCE_REGION)
+        ref_seq = fasta.fetch(task.ctg_name, ref_lo,
+                              min(contig_len, task.end + _c.EXPAND_REFERENCE_REGION))
+        codes = ref_codes_from(ref_seq[row_lo - ref_lo: row_hi - ref_lo])
+        ev = extract_region_events(bam, task.ctg_name, row_lo, row_hi, cfg)
+        n_events += len(ev.base_pos) + len(ev.star_pos)
+        st = stage_chunk(ev, codes, cfg, row_lo, row_hi)
+        arrs = [st.ev_pos, st.ev_chan, st.ev_group, st.ev_rank, st.ev_weight,
+                st.cover_pos, st.cover_delta, st.i1_pos, st.i1_vals,
+                st.ref_code, st.thr_snp, st.thr_indel,
+                np.asarray([st.core_lo, st.core_hi], np.int32)]
+        staged_dev.append([jax.device_put(a) for a in arrs])
+    # warm all bucket shapes
+    for args in staged_dev:
+        caller.fused(*args)[0].block_until_ready()
+    t0 = time.time()
+    outs = [caller.fused(*args) for args in staged_dev]
+    for out in outs:
+        out[0].block_until_ready()
+    dt = time.time() - t0
+    n_cands = int(sum(np.asarray(o[0]) for o in outs))
+    return {"n_candidates": n_cands, "n_events": int(n_events),
+            "device_s": round(dt, 4),
+            "sites_per_s": round(n_cands / dt, 1),
+            "events_per_s": round(n_events / dt, 1),
+            "note": ("fused jit (count scatter + mask + gather + network + "
+                     "prescreen) with events pre-staged in HBM; excludes "
+                     "host event extraction and link transfer")}
+
+
+def _timed_runs(bam_path, fasta_path, cfg, call_cfg, params, forward, *,
+                n_runs, include_open=False):
+    from clair3_rna_tpu.caller.pipeline import run_calling
     from clair3_rna_tpu.pileup.chunk import open_bam
+    import numpy as np
+
+    out_path = bam_path + ".bench_out.vcf"
+    # one BAM open per process, as in production (a whole-genome run streams
+    # thousands of chunks from a single open); the open cost is reported
+    # separately and also folded into an amortized headline
     t0 = time.time()
     bam = open_bam(bam_path)
     open_s = time.time() - t0
-    best = None
-    for _ in range(N_TIMED_RUNS):
+    runs = []
+    for _ in range(n_runs):
         t0 = time.time()
         _, stats = run_calling(
             bam_path, fasta_path, out_path, cfg=cfg, call_cfg=call_cfg,
             params=params, forward=forward, contigs=["chr1"], bam=bam,
             chunk_size=100_000, compress=False, progress=False)
         total = time.time() - t0
+        if include_open:
+            total += open_s
         if stats.candidates == 0:
             raise RuntimeError("bench produced no candidates")
-        run = {
+        runs.append({
             "n_candidates": stats.candidates,
             "bam_open_s": round(open_s, 3),
             "build_s": stats.build_s,
@@ -153,9 +263,13 @@ def bench_ours(fasta_path, bam_path):
             "decode_s": stats.decode_s,
             "wall_s": total,
             "sites_per_s": stats.candidates / total,
-        }
-        if best is None or run["sites_per_s"] > best["sites_per_s"]:
-            best = run
+        })
+    runs.sort(key=lambda r: r["sites_per_s"])
+    best = dict(runs[-1])
+    best["median_sites_per_s"] = round(runs[len(runs) // 2]["sites_per_s"], 1)
+    best["sites_per_s_open_amortized"] = round(
+        best["n_candidates"] / (best["wall_s"] + (0 if include_open
+                                                  else best["bam_open_s"])), 1)
     return best
 
 

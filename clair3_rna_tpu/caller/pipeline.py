@@ -278,20 +278,54 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     rows_by_contig: dict = {}
     gvcf_rows_by_contig: dict = {} if call_cfg.gvcf else None
 
+    # opt-in fused TPU-resident path (ops/fused_pileup): the whole chunk --
+    # count scatter, candidate mask, window gather, network, prescreen --
+    # runs in ONE jit over staged event arrays; chunks it cannot handle
+    # (renorm-depth candidates, overflow) fall back to the host path below
+    fused_caller = None
+    if (os.environ.get("CLAIR3_RNA_TPU_PILEUP_BACKEND") == "fused"
+            and not cfg.phased and not cfg.enable_splice_padding
+            and not cfg.enable_head_tail and not call_cfg.gvcf
+            and not call_cfg.debug and known_vcf_positions is None
+            and bed_regions is None and params is not None):
+        from clair3_rna_tpu.ops.fused_pileup import FusedChunkCaller
+        fused_caller = FusedChunkCaller(params, cfg, call_cfg)
+
     # build prefetch: the host builds chunk i+1 (C++ + numpy, GIL-releasing)
     # while the device runs inference on chunk i -- the in-process analogue of
     # the reference's tensor-builder/caller process pipe overlap
     # (clair3_rna/call_var_bam.py:288-295)
     from concurrent.futures import ThreadPoolExecutor
 
+    def fused_one(task):
+        """Fused-path chunk; None -> host fallback."""
+        from clair3_rna_tpu.pileup.chunk import (extract_region_events,
+                                                 ref_codes_from)
+        window = config.NO_OF_POSITIONS
+        contig_len = fasta.contig_length(task.ctg_name)
+        row_lo = max(0, task.start - window)
+        row_hi = min(contig_len, task.end + window)
+        ref_lo = max(0, task.start - config.EXPAND_REFERENCE_REGION)
+        ref_hi = min(contig_len, task.end + config.EXPAND_REFERENCE_REGION)
+        ref_seq = fasta.fetch(task.ctg_name, ref_lo, ref_hi)
+        codes = ref_codes_from(ref_seq[row_lo - ref_lo: row_hi - ref_lo])
+        events = extract_region_events(bam, task.ctg_name, row_lo, row_hi,
+                                       cfg)
+        return fused_caller.call_chunk(events, codes, task.ctg_name, ref_seq,
+                                       ref_lo, row_lo, row_hi)
+
     def build_one(task):
         t0 = time.time()
+        if fused_caller is not None:
+            fused_out = fused_one(task)
+            if fused_out is not None:
+                return ("rows",) + fused_out, time.time() - t0
         out = build_chunk_tensors(
             bam, fasta, task, cfg,
             known_positions=known_vcf_positions.get(task.ctg_name)
             if known_vcf_positions else None,
             bed_regions=bed_regions, return_features=True)
-        return out, time.time() - t0
+        return ("records", out), time.time() - t0
 
     # two workers keep two chunk builds in flight: the C++ tile builder and
     # most numpy stages release the GIL, so a second build overlaps the main
@@ -374,8 +408,25 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         for i, task in enumerate(tasks):
             if i + 2 < len(tasks):
                 futures.append(prefetcher.submit(build_one, tasks[i + 2]))
-            (records, feat, ref_seq, ref_lo), dt = futures[i].result()
+            built, dt = futures[i].result()
             stats.build_s += dt
+            if built[0] == "rows":  # fused path: decoded rows directly
+                _, fused_rows, n_fused = built
+                stats.candidates += n_fused
+                stats.rows += len(fused_rows)
+                for row in fused_rows:
+                    rows_by_contig.setdefault(
+                        row.split("\t", 1)[0], []).append(row)
+                contig_done = (i + 1 == len(tasks)
+                               or tasks[i + 1].ctg_name != task.ctg_name)
+                pump(force=manifest_dir is not None and contig_done)
+                if manifest_dir and contig_done:
+                    save_manifest(task.ctg_name)
+                if progress:
+                    logger.info("chunk %s:%d-%d: %d candidates (fused)",
+                                task.ctg_name, task.start, task.end, n_fused)
+                continue
+            records, feat, ref_seq, ref_lo = built[1]
             if call_cfg.gvcf:
                 from clair3_rna_tpu.gvcf import NonVariantAccumulator
                 from clair3_rna_tpu.pileup.chunk import gvcf_site_arrays

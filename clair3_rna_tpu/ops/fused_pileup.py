@@ -1,0 +1,383 @@
+"""Fused TPU-resident pileup pipeline: events -> counts -> candidate mask ->
+33-window gather -> PileupNet, all under ONE jit.
+
+This is the BASELINE.json north-star formulation: packed event arrays are
+staged to device HBM once per chunk and never round-trip host<->device
+between stages (the reference's per-position Python loop being replaced is
+src/create_tensor_pileup.py:85-302 + the separate predict process). Contrast
+with the production path, where the C++ tile builder makes the count image on
+the host and only candidate windows cross the link.
+
+Exactness strategy (VCF-identical to the host path):
+
+- channel counts / negation / window gather are integer math, exact in f32
+  (all values < 2^24);
+- the candidate AF tests (count/depth >= af, float64 on the host,
+  src/create_tensor_pileup.py:272-299) are replaced by per-depth integer
+  thresholds precomputed on the host in float64 (`_af_thresholds`), so the
+  device compares integers only -- bit-identical to the reference;
+- Counter insertion-order tie-breaking (pileup_list[0][0]) uses a
+  segment-min over event ranks, then argmax-count with argmin-rank
+  tie-break;
+- chunks that need the high-coverage renormalization (depth > 1.5*max_depth,
+  float64 division on the host path), splice padding, head/tail mode, BED or
+  known-site restriction fall back to the host path wholesale (`needs_host`
+  in the outputs; FusedChunkCaller.call_chunk returns None).
+
+Perf reality (measured, 2-vCPU host + tunnel-attached v5e): materializing
+flat event arrays costs ~6x the C++ in-place count (1.98s vs 0.34s per 1.2Mb
+at 35x) and shipping them costs ~5 B/event over a 139 MB/s link, so this
+path CANNOT beat the host tile builder end-to-end on a tunnel-attached chip;
+it exists for TPU-resident deployments (events already in HBM, e.g. a
+device-side BAM decode stage) and as the north-star demonstration. bench.py
+reports its device-side throughput with pre-staged arrays.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from clair3_rna_tpu import config
+from clair3_rna_tpu.config import PileupConfig
+
+FLANK = config.FLANKING_BASE_NUM
+WINDOW = config.NO_OF_POSITIONS
+N_CH = config.CHANNEL_SIZE  # 18 (the fused path is unphased-only for now)
+GROUP_NONE = 6              # star placeholders count depth but no group
+D_TABLE = 4096              # static AF-threshold table size; depths beyond
+                            # it imply renorm (depth > 216) -> host fallback
+
+
+def _af_thresholds(af, max_depth=D_TABLE - 1):
+    """thr[d] = min count c with float64(c/d) >= af -- exact mirror of the
+    host's float64 comparison, one integer per depth."""
+    d = np.arange(max_depth + 1, dtype=np.float64)
+    d[0] = 1.0  # the host divides by max(depth, 1)
+    c0 = np.floor(af * d).astype(np.int64)
+    # c0 or c0+1, depending on float64 rounding of c/d
+    thr = np.where(c0.astype(np.float64) / d >= af, c0, c0 + 1)
+    return np.maximum(thr, 0).astype(np.int32)
+
+
+def _pad_pow2(arr, fill, min_size=1024):
+    """Pad a 1D/2D array's first axis to the next power of two (>= min_size)
+    so each bucket shape compiles once."""
+    n = len(arr)
+    size = min_size
+    while size < n:
+        size *= 2
+    if size == n:
+        return arr
+    pad_shape = (size - n,) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)])
+
+
+@dataclass
+class StagedChunk:
+    """Host-packed per-chunk arrays, ready for one device transfer.
+
+    Every array's leading axis is padded to a power-of-two bucket (pad
+    events carry weight 0 / inert segment ids) so a whole-contig stream
+    compiles a handful of shapes, not one per chunk."""
+
+    width: int            # padded position count
+    core_lo: int          # candidate emission bounds (absolute offsets)
+    core_hi: int
+    start: int            # absolute 0-based position of offset 0
+    ev_pos: np.ndarray    # [E] int32 position offsets
+    ev_chan: np.ndarray   # [E] int32 channel 0..17
+    ev_group: np.ndarray  # [E] int32 0..5, GROUP_NONE for stars
+    ev_rank: np.ndarray   # [E] int32
+    ev_weight: np.ndarray  # [E] int32 1 real / 0 pad
+    cover_pos: np.ndarray    # [R] int32 positions with cover-count deltas
+    cover_delta: np.ndarray  # [R] int32
+    i1_pos: np.ndarray    # [K] int32 positions with I1/i1/D1/d1 patches
+    i1_vals: np.ndarray   # [K, 4] int32
+    ref_code: np.ndarray  # [W] int8 (-1 non-ACGT)
+    thr_snp: np.ndarray   # [D_TABLE] int32
+    thr_indel: np.ndarray
+
+
+def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
+                width_pad=None):
+    """PileupEvents -> StagedChunk (one host pass; no dense image built)."""
+    width = events.end - events.start
+    if width_pad is None:  # bucket widths so chunk tails reuse compilations
+        width_pad = 16384
+        while width_pad < width:
+            width_pad *= 2
+
+    base_chan = events.base_code.astype(np.int32) + 9 * events.base_strand
+    star_chan = np.where(events.star_strand == 0, config.CHANNEL_INDEX["*"],
+                         config.CHANNEL_INDEX["#"]).astype(np.int32)
+    ins_chan = np.where(events.ins_strand == 0, config.CHANNEL_INDEX["I"],
+                        config.CHANNEL_INDEX["i"]).astype(np.int32)
+    del_chan = np.where(events.del_strand == 0, config.CHANNEL_INDEX["D"],
+                        config.CHANNEL_INDEX["d"]).astype(np.int32)
+
+    ev_pos = np.concatenate([
+        events.base_pos - events.start, events.star_pos - events.start,
+        events.ins_pos - events.start, events.del_pos - events.start,
+    ]).astype(np.int32)
+    ev_chan = np.concatenate([base_chan, star_chan, ins_chan, del_chan])
+    ev_group = np.concatenate([
+        events.base_code.astype(np.int32),
+        np.full(len(events.star_pos), GROUP_NONE, np.int32),
+        np.full(len(events.ins_pos), 4, np.int32),
+        np.full(len(events.del_pos), 5, np.int32),
+    ])
+    ev_rank = np.concatenate([
+        events.base_rank, np.zeros(len(events.star_pos), np.int64),
+        events.ins_rank, events.del_rank,
+    ]).astype(np.int32)
+
+    # I1/i1/D1/d1: most-supported single allele per (pos, strand), computed
+    # on host from the (sparse, ~1%-of-events) indel arrays
+    from clair3_rna_tpu.pileup.builder import _max_per_allele
+    ins_max = _max_per_allele(events.ins_pos - events.start,
+                              events.ins_strand, events.ins_allele,
+                              width, len(events.ins_seqs))
+    n_del_alleles = int(events.del_len.max()) + 1 if len(events.del_len) else 0
+    del_max = _max_per_allele(events.del_pos - events.start,
+                              events.del_strand, events.del_len,
+                              width, n_del_alleles)
+    patch = np.concatenate([ins_max, del_max], axis=1)  # [W, 4] I1 i1 D1 d1
+    i1_pos = np.nonzero(patch.any(axis=1))[0].astype(np.int32)
+    i1_vals = patch[i1_pos].astype(np.int32)
+
+    # cover-count deltas as a sparse (pos, delta) scatter (the dense
+    # cover_count is already integrated on the host; its diff is sparse at
+    # read boundaries only)
+    diff = np.diff(np.concatenate([[0], events.cover_count])).astype(np.int32)
+    nz = np.nonzero(diff)[0].astype(np.int32)
+    cover_pos, cover_delta = nz, diff[nz]
+
+    ev_weight = np.ones(len(ev_pos), np.int32)
+    return StagedChunk(
+        width=width_pad, core_lo=core_lo - events.start,
+        core_hi=core_hi - events.start, start=events.start,
+        ev_pos=_pad_pow2(ev_pos, 0),
+        ev_chan=_pad_pow2(ev_chan.astype(np.int32), 0),
+        ev_group=_pad_pow2(ev_group, 7),       # segment 7 is discarded
+        ev_rank=_pad_pow2(ev_rank, np.int32(2**31 - 1)),
+        ev_weight=_pad_pow2(ev_weight, 0),
+        cover_pos=_pad_pow2(cover_pos, 0, min_size=256),
+        cover_delta=_pad_pow2(cover_delta, 0, min_size=256),
+        i1_pos=_pad_pow2(i1_pos, 0, min_size=256),
+        i1_vals=_pad_pow2(i1_vals, 0, min_size=256),
+        ref_code=np.pad(ref_codes.astype(np.int8),
+                        (0, width_pad - width), constant_values=-1),
+        thr_snp=_af_thresholds(cfg.effective_snp_af),
+        thr_indel=_af_thresholds(cfg.effective_indel_min_af),
+    )
+
+
+def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=4096,
+                  add_indel_length=False):
+    """Build the single-jit fused function over staged device arrays.
+
+    Returns fused(ev_pos, ev_chan, ev_group, ev_rank, cover_pos, cover_delta,
+    i1_pos, i1_vals, ref_code, thr_snp, thr_indel, core) ->
+    (n_cand, cand_idx, probs+mask, gcounts, granks, ref_count, depth,
+     needs_host) with static [max_candidates] shapes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from clair3_rna_tpu.models.network import PileupNet, _REF_GT21_BY_CODE
+
+    model = PileupNet(add_indel_length=add_indel_length)
+    ref_gt21 = jnp.asarray(_REF_GT21_BY_CODE, jnp.int32)
+    min_cov = int(cfg.min_coverage)
+    fast = cfg.platform == "ont" and cfg.fast_mode
+    af_zero = (cfg.effective_snp_af == 0.0
+               or cfg.effective_indel_min_af == 0.0)
+    snp_only = bool(cfg.call_snp_only)
+    max_depth = config.MAX_DEPTH_BY_PLATFORM.get(cfg.platform,
+                                                 config.MAX_DEPTH)
+    RANK_INF = np.int32(2**31 - 1)
+    CI = config.CHANNEL_INDEX
+
+    @jax.jit
+    def fused(ev_pos, ev_chan, ev_group, ev_rank, ev_weight, cover_pos,
+              cover_delta, i1_pos, i1_vals, ref_code, thr_snp, thr_indel,
+              core):
+        W = ref_code.shape[0]
+        # 1. channel count image (exact integer scatter; pads weigh 0)
+        idx = ev_pos * N_CH + ev_chan
+        counts = jax.ops.segment_sum(
+            ev_weight, idx, num_segments=W * N_CH,
+            indices_are_sorted=False).reshape(W, N_CH)
+        counts = counts.at[i1_pos, :].add(
+            jnp.zeros((i1_pos.shape[0], N_CH), counts.dtype)
+            .at[:, CI["I1"]].set(i1_vals[:, 0])
+            .at[:, CI["i1"]].set(i1_vals[:, 1])
+            .at[:, CI["D1"]].set(i1_vals[:, 2])
+            .at[:, CI["d1"]].set(i1_vals[:, 3]))
+
+        # 2. case-merged groups + first-occurrence ranks
+        gcount = jnp.stack([
+            counts[:, 0] + counts[:, 9], counts[:, 1] + counts[:, 10],
+            counts[:, 2] + counts[:, 11], counts[:, 3] + counts[:, 12],
+            counts[:, CI["I"]] + counts[:, CI["i"]],
+            counts[:, CI["D"]] + counts[:, CI["d"]],
+        ], axis=1)                                            # [W, 6]
+        gidx = ev_pos * 8 + jnp.minimum(ev_group, 7)
+        grank = jax.ops.segment_min(
+            ev_rank, gidx, num_segments=W * 8).reshape(W, 8)[:, :6]
+        grank = jnp.where(gcount > 0, grank, RANK_INF)
+
+        # 3. coverage / depth / derived features (finalize_features mirror)
+        cover = jnp.cumsum(jax.ops.segment_sum(
+            cover_delta, cover_pos, num_segments=W))
+        covered = cover > 0
+        star_total = counts[:, CI["*"]] + counts[:, CI["#"]]
+        base_total = gcount[:, :4].sum(axis=1)
+        depth = base_total + star_total
+        ins_total, del_total = gcount[:, 4], gcount[:, 5]
+        eff = jnp.maximum(ref_code, 0).astype(jnp.int32)
+        ref_base_count = jnp.take_along_axis(gcount[:, :4], eff[:, None],
+                                             axis=1)[:, 0]
+        alt_count = base_total - ref_base_count
+        ref_count = jnp.maximum(
+            0, depth - (del_total + star_total) - ins_total - alt_count)
+
+        # 4. candidate mask (candidate_mask_from mirror, integer-exact)
+        dcl = jnp.minimum(depth, thr_snp.shape[0] - 1)
+        non_ref = gcount[:, :4].at[jnp.arange(W), eff].set(0)
+        snp_ok = non_ref >= thr_snp[dcl][:, None]
+        if fast:
+            snp_ok &= non_ref >= 4
+        pass_snp = snp_ok.any(axis=1)
+        ti = thr_indel[dcl]
+        pass_indel = (ins_total >= ti) | (del_total >= ti)
+        max_gc = gcount.max(axis=1)
+        rank_if_top = jnp.where(gcount == max_gc[:, None], grank, RANK_INF)
+        top_group = jnp.argmin(rank_if_top, axis=1)
+        pass_top = (max_gc > 0) & (top_group != eff)
+        pass_af = pass_snp if snp_only else (pass_top | pass_snp | pass_indel)
+        if af_zero:
+            pass_af |= depth > 0
+        mask = covered & (ref_code >= 0) & pass_af & (depth >= min_cov)
+
+        # 5. full-window eligibility from covered-run extents (compute_runs)
+        pos_iota = jnp.arange(W, dtype=jnp.int32)
+        run_start = jax.lax.cummax(jnp.where(
+            covered & jnp.concatenate([jnp.array([True]), ~covered[:-1]]),
+            pos_iota, -1))
+        run_end = -jax.lax.cummax(jnp.where(
+            covered & jnp.concatenate([~covered[1:], jnp.array([True])]),
+            -pos_iota, -(W + 1))[::-1])[::-1]
+        kept = (run_start <= pos_iota - FLANK) & (run_end >= pos_iota + FLANK)
+        mask &= kept & (pos_iota >= core[0]) & (pos_iota < core[1])
+
+        n_cand = mask.sum()
+        cand = jnp.nonzero(mask, size=max_candidates, fill_value=W)[0]
+
+        # 6. ref-channel negation (negated_counts mirror)
+        ch_iota = jnp.arange(N_CH, dtype=jnp.int32)[None, :]
+        fwd_sum = counts[:, 0:4].sum(axis=1)
+        rev_sum = counts[:, 9:13].sum(axis=1)
+        neg_f = ch_iota == eff[:, None]
+        neg_r = ch_iota == (eff[:, None] + 9)
+        image = jnp.where(neg_f, -fwd_sum[:, None],
+                          jnp.where(neg_r, -rev_sum[:, None], counts))
+
+        # 7. 33-window gather (zero outside [0, W))
+        win_pos = cand[:, None] + jnp.arange(-FLANK, FLANK + 1)[None, :]
+        valid = (win_pos >= 0) & (win_pos < W) & (cand[:, None] < W)
+        wp = jnp.clip(win_pos, 0, W - 1)
+        windows = jnp.where(valid[:, :, None], image[wp], 0)
+
+        # 8. network + homRef prescreen (wire-forward mirror)
+        probs = model.apply({"params": params},
+                            windows.astype(jnp.float32))
+        codes_c = jnp.maximum(ref_code, 0).astype(jnp.int32)[
+            jnp.clip(cand, 0, W - 1)]
+        ref_idx = ref_gt21[codes_c]
+        ref_prob = jnp.take_along_axis(probs[:, :21], ref_idx[:, None],
+                                       axis=1)[:, 0]
+        needs_decode = ~((probs[:, 21] >= 0.5) & (ref_prob >= 0.5))
+        out = jnp.concatenate(
+            [probs, needs_decode.astype(jnp.float32)[:, None]], axis=-1)
+
+        cc = jnp.clip(cand, 0, W - 1)
+        depth_c = depth[cc]
+        needs_host = (depth_c > max_depth * 1.5) & (cand < W)
+        return (n_cand, cand, out, gcount[cc][:, :4], grank[cc][:, :4],
+                ref_count[cc], depth_c, needs_host)
+
+    return fused
+
+
+class FusedChunkCaller:
+    """Chunk-level driver around the fused jit: stage -> device -> rows.
+
+    call_chunk returns None when the chunk needs the host path (candidate
+    overflow, renormalization-depth candidates, or an unsupported feature
+    combination), letting the pipeline fall back transparently.
+    """
+
+    def __init__(self, params, cfg: PileupConfig, call_cfg,
+                 max_candidates=4096):
+        if cfg.phased or cfg.enable_splice_padding or cfg.enable_head_tail:
+            raise ValueError("fused path supports the default unphased, "
+                             "non-splice-padding, non-head-tail mode only")
+        self.cfg = cfg
+        self.call_cfg = call_cfg
+        self.max_candidates = max_candidates
+        self.fused = make_fused_fn(params, cfg,
+                                   max_candidates=max_candidates,
+                                   add_indel_length=call_cfg.add_indel_length)
+
+    def call_chunk(self, events, ref_codes, ctg_name, ref_seq, ref_lo,
+                   core_lo, core_hi):
+        """One chunk: stage, run the fused jit, decode on host.
+
+        Returns (vcf_rows, n_candidates) or None for host fallback."""
+        import numpy as np
+
+        from clair3_rna_tpu.caller.decode import decode_batch
+        from clair3_rna_tpu.pileup.builder import (SparseIndels,
+                                                   _alt_data_fast)
+
+        staged = stage_chunk(events, ref_codes, self.cfg, core_lo, core_hi)
+        core = np.asarray([staged.core_lo, staged.core_hi], np.int32)
+        (n_cand, cand, out, gcounts, granks, ref_count, depth_c,
+         needs_host) = [np.asarray(a) for a in self.fused(
+            staged.ev_pos, staged.ev_chan, staged.ev_group, staged.ev_rank,
+            staged.ev_weight, staged.cover_pos, staged.cover_delta,
+            staged.i1_pos, staged.i1_vals, staged.ref_code, staged.thr_snp,
+            staged.thr_indel, core)]
+        n = int(n_cand)
+        if n > self.max_candidates or needs_host.any():
+            return None  # host path handles overflow / renorm chunks
+
+        cand = cand[:n]
+        probs, needs_decode = out[:n, :-1], out[:n, -1] != 0.0
+        if self.call_cfg.show_ref:
+            needs_decode = np.ones(n, dtype=bool)
+        indels = SparseIndels.from_events(events)
+        sel = np.nonzero(needs_decode)[0]
+        pos_abs = cand.astype(np.int64) + staged.start
+        ins_lo = np.searchsorted(indels.ins_pos, pos_abs, side="left")
+        ins_hi = np.searchsorted(indels.ins_pos, pos_abs, side="right")
+        del_lo = np.searchsorted(indels.del_pos, pos_abs, side="left")
+        del_hi = np.searchsorted(indels.del_pos, pos_abs, side="right")
+        eff = np.maximum(staged.ref_code[cand], 0)
+
+        alt_data = [
+            _alt_data_fast(indels, int(pos_abs[i]), int(depth_c[i]),
+                           int(eff[i]), gcounts[i].tolist(),
+                           granks[i].tolist(), int(ref_count[i]),
+                           int(ins_lo[i]), int(ins_hi[i]), int(del_lo[i]),
+                           int(del_hi[i]), ref_seq, ref_lo)
+            for i in sel]
+        from clair3_rna_tpu.pileup.builder import _flanked_ref
+        refseqs = [_flanked_ref(ref_seq, ref_lo, int(pos_abs[i]), FLANK)
+                   for i in sel]
+        rows = decode_batch([ctg_name] * len(sel),
+                            [int(pos_abs[i]) + 1 for i in sel],
+                            refseqs, alt_data, probs[sel], self.call_cfg)
+        return rows, n

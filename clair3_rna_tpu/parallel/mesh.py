@@ -32,32 +32,64 @@ def make_mesh(n_devices=None, tp=1, devices=None):
     return Mesh(dev_array, ("dp", "tp"))
 
 
+# the flatten->L4 dense is the one kernel whose INPUT dimension is large
+# (33 positions x 2*160 lstm2 features); anything above this is row-sharded
+_ROW_PARALLEL_MIN_FAN_IN = 1024
+
+
+def _is_row_parallel(leaf):
+    return leaf.ndim == 2 and leaf.shape[0] >= _ROW_PARALLEL_MIN_FAN_IN
+
+
 def param_spec(path_names, leaf, tp=1) -> P:
-    """Partition spec for one parameter leaf.
+    """Partition spec for one parameter leaf, decided STRUCTURALLY (by
+    shape), never by module name -- renames cannot silently mis-shard.
 
     Dense/LSTM kernels shard their output (gate) dimension over 'tp' when it
-    divides evenly; small heads and indivisible dims replicate. The
-    flatten->L4 kernel shards its large input dimension (row-parallel).
+    divides evenly; small heads and indivisible dims replicate. The unique
+    large-fan-in kernel (flatten->L4, [33*320, 128]) shards its input
+    dimension (row-parallel), and correspondingly its bias -- the output of
+    a row-parallel matmul is a psum, already complete on every shard -- is
+    replicated.
     """
-    name = "/".join(str(p) for p in path_names)
+    del path_names  # structural rules only
     if leaf.ndim == 2:
-        if "l4" in name and leaf.shape[0] % tp == 0:
+        if _is_row_parallel(leaf) and leaf.shape[0] % tp == 0:
             return P("tp", None)     # row-parallel: [33*320/tp, 128]
         if leaf.shape[1] % tp == 0 and leaf.shape[1] >= 64:
             return P(None, "tp")     # column-parallel gates/heads
         return P(None, None)
     if leaf.ndim == 1:
-        if "l4" not in name and leaf.shape[0] % tp == 0 and leaf.shape[0] >= 64:
+        # 1D leaves: biases of column-parallel kernels shard with their
+        # outputs; the row-parallel (L4) bias must replicate. L4's bias is
+        # 128-wide like the head denses', so distinguish it by its sibling
+        # kernel -- handled in shard_params via the parent module's kernel.
+        if leaf.shape[0] % tp == 0 and leaf.shape[0] >= 64:
             return P("tp")
         return P(None)
     return P()
+
+
+def _spec_for_module(module_params, leaf_name, leaf, tp):
+    """param_spec with the row-parallel bias exception resolved from the
+    sibling kernel's shape instead of the module's name."""
+    if leaf.ndim == 1:
+        kernel = module_params.get("kernel")
+        if kernel is not None and _is_row_parallel(kernel):
+            return P(None)
+    return param_spec((leaf_name,), leaf, tp=tp)
 
 
 def shard_params(params, mesh):
     tp = mesh.shape["tp"]
 
     def place(path, leaf):
-        spec = param_spec([p.key for p in path], leaf, tp=tp)
+        # resolve the leaf's parent module dict so bias specs can consult
+        # their sibling kernel's shape (structural row-parallel detection)
+        module = params
+        for p in path[:-1]:
+            module = module[p.key]
+        spec = _spec_for_module(module, path[-1].key, leaf, tp)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map_with_path(place, params)
 

@@ -1,0 +1,98 @@
+"""Fused TPU-resident pileup path (ops/fused_pileup): VCF-identical to the
+host tile-builder path, including the chunk-level fallbacks."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from clair3_rna_tpu.caller.decode import CallConfig
+from clair3_rna_tpu.caller.pipeline import run_calling
+from clair3_rna_tpu.config import PileupConfig
+from clair3_rna_tpu.io.fasta import write_fasta
+from clair3_rna_tpu.models.network import init_params
+from tests import simdata
+
+
+def _dataset(tmp_path, seed=41, contig_len=60_000, n_variants=220, depth=30,
+             splice=True):
+    rng = random.Random(seed)
+    genome = simdata.random_genome(rng, [("chr1", contig_len)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=n_variants)
+    fasta = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "reads.bam")
+    write_fasta(fasta, genome)
+    mid = contig_len // 2
+    simdata.simulate_bam(
+        bam, genome, variants, rng, depth=depth,
+        splice_sites={"chr1": [(mid - 1500, mid + 1500)]} if splice else None)
+    return fasta, bam
+
+
+def _call(bam, fasta, out, params, show_ref, monkeypatch, fused):
+    if fused:
+        monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", "fused")
+    else:
+        monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
+    run_calling(bam, fasta, out, cfg=PileupConfig(batch_size=256),
+                call_cfg=CallConfig(show_ref=show_ref), params=params,
+                contigs=["chr1"], chunk_size=20_000, compress=False,
+                progress=False)
+    return [l for l in open(out) if not l.startswith("#")]
+
+
+@pytest.mark.parametrize("show_ref", [False, True])
+def test_fused_path_vcf_identical(tmp_path, monkeypatch, show_ref):
+    fasta, bam = _dataset(tmp_path)
+    params = init_params(0)
+    host = _call(bam, fasta, str(tmp_path / "host.vcf"), params, show_ref,
+                 monkeypatch, fused=False)
+    fused = _call(bam, fasta, str(tmp_path / "fused.vcf"), params, show_ref,
+                  monkeypatch, fused=True)
+    assert len(host) > 50
+    assert fused == host
+
+
+def test_fused_high_depth_falls_back_identically(tmp_path, monkeypatch):
+    """depth > 1.5*max_depth needs the host float64 renormalization; the
+    fused path must detect it per chunk and fall back, keeping the VCF
+    identical."""
+    fasta, bam = _dataset(tmp_path, seed=42, contig_len=4_000, n_variants=12,
+                          depth=260, splice=False)
+    params = init_params(0)
+    host = _call(bam, fasta, str(tmp_path / "host.vcf"), params, True,
+                 monkeypatch, fused=False)
+    fused = _call(bam, fasta, str(tmp_path / "fused.vcf"), params, True,
+                  monkeypatch, fused=True)
+    assert len(host) > 5
+    assert fused == host
+
+
+def test_fused_chunk_caller_direct(tmp_path, monkeypatch):
+    """Direct FusedChunkCaller exercise: n_candidates matches the host
+    builder's record count on the same region."""
+    from clair3_rna_tpu.ops.fused_pileup import FusedChunkCaller
+    from clair3_rna_tpu.io.fasta import FastaFile
+    from clair3_rna_tpu.pileup.chunk import (ChunkTask, build_chunk_tensors,
+                                             extract_region_events, open_bam,
+                                             ref_codes_from)
+
+    fasta_path, bam_path = _dataset(tmp_path, seed=43, contig_len=20_000,
+                                    n_variants=60)
+    fasta = FastaFile(fasta_path)
+    bam = open_bam(bam_path)
+    cfg = PileupConfig(batch_size=256)
+    call_cfg = CallConfig(show_ref=True)
+    params = init_params(0)
+    caller = FusedChunkCaller(params, cfg, call_cfg)
+
+    task = ChunkTask("chr1", 0, 20_000)
+    records = build_chunk_tensors(bam, fasta, task, cfg)
+    ref_seq = fasta.fetch("chr1", 0, 20_000)
+    codes = ref_codes_from(ref_seq)
+    events = extract_region_events(bam, "chr1", 0, 20_000, cfg)
+    out = caller.call_chunk(events, codes, "chr1", ref_seq, 0, 0, 20_000)
+    assert out is not None
+    rows, n = out
+    assert n == len(records)
