@@ -39,7 +39,12 @@ def _dataset(tag, contig_len, depth, n_variants, splice=True):
     d = os.path.join(DATA_DIR, f"{tag}_{contig_len}_{depth}_{n_variants}_{SEED}")
     fasta_path = os.path.join(d, "ref.fa")
     bam_path = os.path.join(d, "reads.bam")
-    if os.path.exists(fasta_path) and os.path.exists(bam_path):
+    def _valid(p):
+        try:
+            return os.path.getsize(p) > 0
+        except OSError:
+            return False
+    if _valid(fasta_path) and _valid(bam_path):
         return fasta_path, bam_path
     tmp = d + ".tmp"  # build in a staging dir; publish atomically by rename
     import shutil

@@ -153,15 +153,16 @@ def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
     nz = np.nonzero(diff)[0].astype(np.int32)
     cover_pos, cover_delta = nz, diff[nz]
 
-    ev_weight = np.ones(len(ev_pos), np.int32)
+    # 1-byte channel/group/weight on the wire (cast on device): 11 B/event
+    ev_weight = np.ones(len(ev_pos), np.int8)
     return StagedChunk(
         width=width_pad, core_lo=core_lo - events.start,
         core_hi=core_hi - events.start, start=events.start,
         ev_pos=_pad_pow2(ev_pos, 0),
-        ev_chan=_pad_pow2(ev_chan.astype(np.int32), 0),
-        ev_group=_pad_pow2(ev_group, 7),       # segment 7 is discarded
+        ev_chan=_pad_pow2(ev_chan.astype(np.int8), 0),
+        ev_group=_pad_pow2(ev_group.astype(np.int8), 7),  # seg 7 discarded
         ev_rank=_pad_pow2(ev_rank, np.int32(2**31 - 1)),
-        ev_weight=_pad_pow2(ev_weight, 0),
+        ev_weight=_pad_pow2(ev_weight, np.int8(0)),
         cover_pos=_pad_pow2(cover_pos, 0, min_size=256),
         cover_delta=_pad_pow2(cover_delta, 0, min_size=256),
         i1_pos=_pad_pow2(i1_pos, 0, min_size=256),
@@ -204,10 +205,12 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=4096,
               cover_delta, i1_pos, i1_vals, ref_code, thr_snp, thr_indel,
               core):
         W = ref_code.shape[0]
+        ev_chan = ev_chan.astype(jnp.int32)
+        ev_group = ev_group.astype(jnp.int32)
         # 1. channel count image (exact integer scatter; pads weigh 0)
         idx = ev_pos * N_CH + ev_chan
         counts = jax.ops.segment_sum(
-            ev_weight, idx, num_segments=W * N_CH,
+            ev_weight.astype(jnp.int32), idx, num_segments=W * N_CH,
             indices_are_sorted=False).reshape(W, N_CH)
         counts = counts.at[i1_pos, :].add(
             jnp.zeros((i1_pos.shape[0], N_CH), counts.dtype)

@@ -45,11 +45,15 @@ def plant_variants(rng, genome, n_per_contig=8, indel_fraction=0.3, region=None,
     for name, seq in genome.items():
         lo, hi = region if region else (50, len(seq) - 50)
         chosen = {}
-        attempts = 0
+        occupied_bins = {}  # pos//40 -> [positions]; O(1) proximity check,
+        attempts = 0        # identical accept/reject to the linear scan
         while len(chosen) < n_per_contig and attempts < 10 * n_per_contig:
             attempts += 1
             pos = rng.randrange(lo, hi)
-            if any(abs(pos - p) < 40 for p in chosen):
+            pbin = pos // 40
+            if any(abs(pos - p) < 40
+                   for nb in (pbin - 1, pbin, pbin + 1)
+                   for p in occupied_bins.get(nb, ())):
                 continue
             ref_base = seq[pos]
             genotype = rng.choice(list(het_genotypes) + [(1, 1)])
@@ -65,6 +69,7 @@ def plant_variants(rng, genome, n_per_contig=8, indel_fraction=0.3, region=None,
                 if pos + 1 + dlen >= len(seq):
                     continue
                 chosen[pos] = Variant(pos, seq[pos:pos + 1 + dlen], ref_base, genotype)
+            occupied_bins.setdefault(pbin, []).append(pos)
         variants[name] = sorted(chosen.values(), key=lambda v: v.pos)
     return variants
 
@@ -89,7 +94,11 @@ def simulate_read(rng, ref_seq, contig_variants, start, end, error_rate=0.02,
     """
     if haplotype is None:
         haplotype = rng.randrange(2)
-    carried = {v.pos: v for v in contig_variants if v.genotype[haplotype] == 1}
+    if isinstance(contig_variants, dict):  # pre-indexed {pos: v} per hap
+        carried = contig_variants
+    else:
+        carried = {v.pos: v for v in contig_variants
+                   if v.genotype[haplotype] == 1}
 
     introns = sorted(splice or [])
     segments = []
@@ -163,6 +172,11 @@ def simulate_bam(path, genome, variants, rng, depth=30, read_len=400,
     with BamWriter(path, refs) as writer:
         for ref_id, (name, seq) in enumerate(genome.items()):
             contig_vars = variants.get(name, [])
+            # pre-index carried variants per haplotype once per contig --
+            # rebuilding the dict per read is quadratic in variant count
+            carried_by_hap = [
+                {v.pos: v for v in contig_vars if v.genotype[h] == 1}
+                for h in (0, 1)]
             lo, hi = region if region else (0, len(seq))
             reads = []
             n_reads = max(1, depth * (hi - lo) // read_len)
@@ -178,7 +192,7 @@ def simulate_bam(path, genome, variants, rng, depth=30, read_len=400,
                             splice.append((istart, iend))
                 hap = rng.randrange(2)
                 pos, cigar, rseq = simulate_read(
-                    rng, seq, contig_vars, start, end,
+                    rng, seq, carried_by_hap[hap], start, end,
                     error_rate=error_rate, splice=splice, haplotype=hap)
                 if not rseq:
                     continue
