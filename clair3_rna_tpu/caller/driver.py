@@ -198,6 +198,7 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
         bed_regions=bed_regions,
         manifest_dir=os.path.join(args.output_dir, "tmp"),
         resume=getattr(args, "resume", False),
+        joblog=getattr(args, "joblog", None),
     )
     logger.info("[INFO] pileup calling finished: %s", ", ".join(outputs))
 

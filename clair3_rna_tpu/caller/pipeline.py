@@ -245,7 +245,8 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 rediportal_path=None, output_no_tagging_path=None,
                 sample_name=None, cmd_line=None, compress=True,
                 known_vcf_positions=None, bed_regions=None, progress=True,
-                manifest_dir=None, resume=False, tasks=None, bam=None):
+                manifest_dir=None, resume=False, tasks=None, bam=None,
+                joblog=None):
     """Full pileup calling: plan chunks, build tensors, infer, decode, merge.
 
     params/forward default to a fresh random-init network (useful only for
@@ -257,7 +258,21 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     manifest / deterministic-retry analogue of the reference's
     filesystem-state resume (tmp/CHUNK_LIST + --skip_steps,
     run_clair3_rna:437-449,855-867), at finer granularity.
+
+    joblog writes a per-chunk timing TSV (contig, start, end, candidates,
+    build_seconds) -- the in-process analogue of the reference's GNU
+    `parallel --joblog` per-chunk accounting (run_clair3_rna:682,733).
+    Setting CLAIR3_RNA_TPU_PROFILE=<dir> additionally captures a device
+    profiler trace of the whole run (viewable in TensorBoard/XProf).
     """
+    profile_dir = os.environ.get("CLAIR3_RNA_TPU_PROFILE")
+    if profile_dir:
+        import contextlib
+        import jax
+        profile_cm = jax.profiler.trace(profile_dir)
+    else:
+        import contextlib
+        profile_cm = contextlib.nullcontext()
     cfg = cfg or PileupConfig()
     call_cfg = call_cfg or CallConfig()
     if forward is None or params is None:
@@ -403,6 +418,17 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                                     len(payload["rows"]))
             tasks = [t for t in tasks if t.ctg_name not in skip_ctgs]
 
+    joblog_f = None
+    if joblog:
+        joblog_f = open(joblog, "w")
+        joblog_f.write("contig\tstart\tend\tcandidates\tbuild_seconds\n")
+
+    def log_chunk(task, n, dt):
+        if joblog_f:
+            joblog_f.write(f"{task.ctg_name}\t{task.start}\t{task.end}"
+                           f"\t{n}\t{dt:.4f}\n")
+
+    profile_cm.__enter__()
     try:
         futures = [prefetcher.submit(build_one, task) for task in tasks[:2]]
         for i, task in enumerate(tasks):
@@ -412,6 +438,7 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             stats.build_s += dt
             if built[0] == "rows":  # fused path: decoded rows directly
                 _, fused_rows, n_fused = built
+                log_chunk(task, n_fused, dt)
                 stats.candidates += n_fused
                 stats.rows += len(fused_rows)
                 for row in fused_rows:
@@ -445,6 +472,7 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 gvcf_rows_by_contig.setdefault(task.ctg_name, []).extend(
                     acc.finish())
             queue_records.extend(records)
+            log_chunk(task, len(records), dt)
             contig_done = (i + 1 == len(tasks)
                            or tasks[i + 1].ctg_name != task.ctg_name)
             pump(force=manifest_dir is not None and contig_done)
@@ -456,6 +484,9 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         pump(force=True)
     finally:
         prefetcher.shutdown(wait=False, cancel_futures=True)
+        if joblog_f:
+            joblog_f.close()
+        profile_cm.__exit__(None, None, None)
 
     rediportal = load_rediportal(rediportal_path, contigs=list(rows_by_contig))
     outputs, n_rows, n_tagged = sort_rows(

@@ -95,6 +95,10 @@ def _add_call_parser(subparsers):
     p.add_argument("--resume", action="store_true",
                    help="skip contigs already completed in a previous run "
                         "(per-contig manifests under <output_dir>/tmp)")
+    p.add_argument("--joblog", default=None,
+                   help="write a per-chunk timing TSV (the GNU parallel "
+                        "--joblog analogue, run_clair3_rna:682); device "
+                        "profiler traces via CLAIR3_RNA_TPU_PROFILE=<dir>")
     p.add_argument("--n_shards", type=int, default=None,
                    help="multi-host mode: total number of contig-shard "
                         "workers; this process only writes shard manifests")

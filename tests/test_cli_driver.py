@@ -261,3 +261,25 @@ def test_cli_rediportal_bundled_table(tmp_path, monkeypatch):
     untagged = _read_vcf_gz(untagged_path)
     uhit = [r for r in untagged if r.split("\t")[1] == pos]
     assert uhit and uhit[0].split("\t")[6] != "RNAEditing"
+
+
+def test_cli_joblog_and_profile_trace(tmp_path, monkeypatch):
+    """--joblog per-chunk TSV (parallel --joblog analogue) and the
+    CLAIR3_RNA_TPU_PROFILE device-trace hook."""
+    from tests import simdata
+
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=81, contig_len=7000, n_variants=12, depth=25)
+    out = str(tmp_path / "out")
+    joblog = str(tmp_path / "chunks.tsv")
+    prof_dir = str(tmp_path / "trace")
+    monkeypatch.setenv("CLAIR3_RNA_TPU_PROFILE", prof_dir)
+    main(["call", "-B", bam, "-R", fasta, "-o", out, "--include_all_ctgs",
+          "--no_compress", "--chunk_size", "3000", "--joblog", joblog])
+    rows = open(joblog).read().splitlines()
+    assert rows[0].startswith("contig\tstart\tend\tcandidates")
+    assert len(rows) >= 4  # header + >=3 chunks of 3000 over 7000
+    total_cand = sum(int(r.split("\t")[3]) for r in rows[1:])
+    assert total_cand > 0
+    import os
+    assert os.path.isdir(prof_dir) and os.listdir(prof_dir)
