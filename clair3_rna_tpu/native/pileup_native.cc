@@ -50,6 +50,10 @@ struct BamFile {
   std::vector<std::string> ref_names;
   std::vector<int64_t> ref_lens;
   std::vector<RecordView> records;     // legacy mode: coordinate order
+  // legacy region queries skip the record prefix via binary search on this
+  // nondecreasing running max of (ref_id, end): without it every chunk of a
+  // long contig rescans all earlier records (quadratic over a whole genome)
+  std::vector<std::pair<int32_t, int64_t>> cummax_end;
   BaiIndex index;                      // indexed mode
   std::atomic<int64_t> bytes_read{0};  // compressed bytes touched (indexed)
 };
@@ -367,7 +371,16 @@ bool load_region_records(BamFile* bam, int32_t ref_id, int64_t start,
     return !(rv.flag & exclude_flags) && rv.mapq >= min_mq && rv.end > start;
   };
   if (!bam->indexed) {
-    for (const RecordView& rv : bam->records) {
+    // skip the prefix that cannot overlap: cummax_end is nondecreasing in
+    // (ref_id, end), so the first possibly-overlapping record is found by
+    // binary search instead of a scan from record 0 (per-chunk rescans of
+    // long contigs were quadratic otherwise)
+    size_t lo = std::lower_bound(bam->cummax_end.begin(),
+                                 bam->cummax_end.end(),
+                                 std::make_pair(ref_id, start + 1))
+                - bam->cummax_end.begin();
+    for (size_t i = lo; i < bam->records.size(); ++i) {
+      const RecordView& rv = bam->records[i];
       if (rv.ref_id != ref_id) {
         if (rv.ref_id > ref_id && ref_id >= 0) break;
         continue;
@@ -599,6 +612,13 @@ void* bam_open(const char* path) {
     rv.end = rv.pos + reference_span(body);
     bam->records.push_back(rv);
     off += block_size;
+  }
+  bam->cummax_end.reserve(bam->records.size());
+  std::pair<int32_t, int64_t> running{-2, -1};
+  for (const RecordView& rv : bam->records) {
+    std::pair<int32_t, int64_t> key{rv.ref_id, rv.end};
+    if (key > running) running = key;
+    bam->cummax_end.push_back(running);
   }
   return bam;
 }

@@ -97,8 +97,8 @@ def main():
              "--no_indel_length", "--max_epochs", str(args.epochs),
              "--batch_size", "256"])
         out30 = os.path.join(d, "call30")
-        cli(["call", "-B", tagged, "-R", fasta, "-o", out30, "--model_path",
-             w30, "--include_all_ctgs", "--no_compress",
+        cli(["call", "-B", bam, "-R", fasta, "-o", out30, "--model_path",
+             w18, "--include_all_ctgs", "--no_compress",
              "--enable_phasing_model", "--phased_model_path", w30])
         phased_vcf = os.path.join(out30, "output_enable_phasing.vcf")
         if not os.path.exists(phased_vcf):
