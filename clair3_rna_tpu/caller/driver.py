@@ -221,6 +221,10 @@ def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
 
     tagged_bam = os.path.join(args.output_dir, "phased_tagged.bam")
     phase_and_haplotag(args.bam_fn, args.ref_fn, first_pass_vcf, tagged_bam,
+                       phaser=getattr(args, "phaser", "builtin"),
+                       whatshap=getattr(args, "whatshap", "whatshap"),
+                       longphase=getattr(args, "longphase", "longphase"),
+                       platform=getattr(args, "platform", "ont"),
                        contigs=contigs)
     phased_cfg = cfg.with_(phased=True)
     mesh = None

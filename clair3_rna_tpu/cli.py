@@ -64,6 +64,15 @@ def _add_call_parser(subparsers):
     p.add_argument("--call_snp_only", action="store_true")
     p.add_argument("--enable_phasing_model", action="store_true",
                    help="run the second, haplotagged-read calling pass")
+    p.add_argument("--phaser", choices=["builtin", "whatshap", "longphase"],
+                   default="builtin",
+                   help="phasing engine for the second pass: in-framework "
+                        "pairwise linkage (default) or an installed external "
+                        "phaser (run_clair3_rna:729-801 invocations)")
+    p.add_argument("--whatshap", default="whatshap",
+                   help="whatshap executable path (with --phaser whatshap)")
+    p.add_argument("--longphase", default="longphase",
+                   help="longphase executable path (with --phaser longphase)")
     p.add_argument("--enable_variant_calling_at_sequence_head_and_tail",
                    action="store_true")
     p.add_argument("--enable_padding_in_splice_junction_regions",

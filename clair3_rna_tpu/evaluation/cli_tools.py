@@ -28,6 +28,15 @@ def add_tool_parsers(subparsers):
     t.add_argument("--vcf_fn", required=True, help="first-pass het calls")
     t.add_argument("--output_bam_fn", required=True)
     t.add_argument("--ctg_name", default=None)
+    t.add_argument("--phaser", choices=["builtin", "whatshap", "longphase"],
+                   default="builtin",
+                   help="phasing engine: in-framework pairwise linkage "
+                        "(default) or an installed external phaser with the "
+                        "reference's invocations (run_clair3_rna:729-801)")
+    t.add_argument("--whatshap", default="whatshap",
+                   help="whatshap executable path")
+    t.add_argument("--longphase", default="longphase",
+                   help="longphase executable path")
 
     b = subparsers.add_parser("get_rna_bed",
                               help="coverage >= N BED from a BAM (mosdepth+"
@@ -165,7 +174,10 @@ def dispatch_tool(args) -> bool:
         from clair3_rna_tpu.phasing.pipeline import phase_and_haplotag
         contigs = args.ctg_name.split(",") if args.ctg_name else None
         phase_and_haplotag(args.bam_fn, args.ref_fn, args.vcf_fn,
-                           args.output_bam_fn, contigs=contigs)
+                           args.output_bam_fn, contigs=contigs,
+                           phaser=getattr(args, "phaser", "builtin"),
+                           whatshap=getattr(args, "whatshap", "whatshap"),
+                           longphase=getattr(args, "longphase", "longphase"))
         return True
     if args.command == "get_rna_bed":
         from clair3_rna_tpu.evaluation.rna_bed import build_rna_bed

@@ -174,7 +174,7 @@ def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
     )
 
 
-def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=4096,
+def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                   add_indel_length=False):
     """Build the single-jit fused function over staged device arrays.
 
@@ -323,7 +323,12 @@ class FusedChunkCaller:
     """
 
     def __init__(self, params, cfg: PileupConfig, call_cfg,
-                 max_candidates=4096):
+                 max_candidates=1024):
+        # the padded candidate budget is the network's per-chunk batch: an
+        # oversized budget burns device time on padding rows (the network,
+        # not the count scatter, dominates the fused jit), and overflowing
+        # chunks fall back to the host path -- 1024 covers ~10x the typical
+        # 100 kb-chunk candidate density
         if cfg.phased or cfg.enable_splice_padding or cfg.enable_head_tail:
             raise ValueError("fused path supports the default unphased, "
                              "non-splice-padding, non-head-tail mode only")

@@ -6,6 +6,7 @@ inspection.
 """
 
 import logging
+import os
 
 import numpy as np
 
@@ -21,8 +22,22 @@ logger = logging.getLogger(__name__)
 
 def phase_and_haplotag(bam_path: str, ref_path: str, vcf_path: str,
                        output_bam_path: str, contigs=None,
-                       exclude_flags=2316, min_mq=5):
-    """Tag reads with HP:i:1/2 from read-backed phasing of first-pass hets."""
+                       exclude_flags=2316, min_mq=5, phaser="builtin",
+                       whatshap="whatshap", longphase="longphase",
+                       platform="ont"):
+    """Tag reads with HP:i:1/2 from read-backed phasing of first-pass hets.
+
+    phaser selects the engine: "builtin" (the in-framework pairwise-linkage
+    phaser, default), or "whatshap"/"longphase" to delegate to an installed
+    external phaser with the reference's exact invocations
+    (run_clair3_rna:729-801). External mode requires the tool on PATH (or an
+    explicit path via whatshap=/longphase=)."""
+    if phaser in ("whatshap", "longphase"):
+        return _external_phase_and_haplotag(
+            bam_path, ref_path, vcf_path, output_bam_path, phaser,
+            whatshap if phaser == "whatshap" else longphase, platform)
+    if phaser != "builtin":
+        raise ValueError(f"unknown phaser: {phaser}")
     bam = BamReader(bam_path)
     vcf = VcfReader(vcf_path, show_ref=False)
     contigs = contigs or bam.references
@@ -60,4 +75,62 @@ def phase_and_haplotag(bam_path: str, ref_path: str, vcf_path: str,
     writer.close()
     logger.info("[INFO] haplotagged %d/%d reads -> %s",
                 n_tagged, n_total, output_bam_path)
+    return output_bam_path
+
+
+def _external_phase_and_haplotag(bam_path, ref_path, vcf_path,
+                                 output_bam_path, tool_name, tool_path,
+                                 platform):
+    """Delegate phasing + haplotagging to whatshap or longphase, with the
+    reference's flags (run_clair3_rna:729-801); our in-process bgzip/tabix
+    and BAM indexing replace the external bgzip/tabix/samtools calls."""
+    import shutil
+    import subprocess
+
+    if shutil.which(tool_path) is None and not os.path.exists(tool_path):
+        raise FileNotFoundError(
+            f"{tool_name} not found ({tool_path}); install it or use the "
+            "builtin phaser")
+    import os.path as _p
+    workdir = _p.dirname(_p.abspath(output_bam_path))
+    phased_prefix = _p.join(workdir, "external_phased")
+
+    from clair3_rna_tpu.io.vcf import compress_index_vcf
+    vcf_in = vcf_path
+    if not vcf_in.endswith(".gz"):
+        import shutil as _sh
+        staged = _p.join(workdir, "phase_input.vcf")
+        _sh.copyfile(vcf_in, staged)
+        vcf_in = compress_index_vcf(staged)
+
+    if tool_name == "whatshap":
+        # run_clair3_rna:739-747 / 775-783
+        phased_vcf = phased_prefix + ".vcf.gz"
+        subprocess.run([tool_path, "phase", "--output", phased_vcf,
+                        "--reference", ref_path, "--distrust-genotypes",
+                        "--ignore-read-groups", vcf_in, bam_path],
+                       check=True)
+        subprocess.run([tool_path, "haplotag", "--output", output_bam_path,
+                        "--reference", ref_path, "--ignore-read-groups",
+                        phased_vcf, bam_path], check=True)
+    else:
+        # run_clair3_rna:749-763 / 785-797 (longphase)
+        plat_flag = "--ont" if platform.startswith("ont") else "--pb"
+        subprocess.run([tool_path, "phase", "-s", vcf_in, "-b", bam_path,
+                        "-r", ref_path, plat_flag, "-o", phased_prefix],
+                       check=True)
+        phased_vcf = compress_index_vcf(phased_prefix + ".vcf")
+        subprocess.run([tool_path, "haplotag", "-s", phased_vcf,
+                        "-b", bam_path, "-r", ref_path,
+                        "-o", _p.splitext(output_bam_path)[0]], check=True)
+
+    try:  # index the tagged BAM for downstream region access
+        from clair3_rna_tpu.native import get_library
+        lib = get_library()
+        if lib is not None and os.path.exists(output_bam_path):
+            lib.bam_build_index(output_bam_path.encode(),
+                                (output_bam_path + ".bai").encode())
+    except Exception:
+        pass
+    logger.info("[INFO] %s haplotagging -> %s", tool_name, output_bam_path)
     return output_bam_path

@@ -111,3 +111,64 @@ def test_pairwise_phaser_switch_error_vs_truth(tmp_path):
         n_all += len(pairs)
     assert n_all > len(usable) // 2, "too few reads haplotagged"
     assert n_ok / n_all > 0.95, f"haplotag accuracy {n_ok / n_all:.3f}"
+
+
+def test_external_phaser_orchestration(tmp_path, monkeypatch):
+    """--phaser whatshap delegates with the reference's invocations
+    (run_clair3_rna:739-783); exercised against a stub executable that logs
+    its argv and emulates whatshap's outputs."""
+    import os
+    import stat
+    import subprocess
+    import sys
+
+    from clair3_rna_tpu.phasing.pipeline import phase_and_haplotag
+
+    genome, variants, bam_path = _phasing_dataset(tmp_path, seed=19,
+                                                  contig_len=12_000,
+                                                  n_variants=30)
+    from clair3_rna_tpu.io.fasta import write_fasta
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, genome)
+    vcf = str(tmp_path / "calls.vcf")
+    with open(vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                "FILTER\tINFO\tFORMAT\tS\n")
+        for v in variants["chr1"]:
+            gt = "1/1" if v.genotype == (1, 1) else "0/1"
+            f.write(f"chr1\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t30\tPASS\t.\t"
+                    f"GT\t{gt}\n")
+
+    log = str(tmp_path / "calls.log")
+    stub = str(tmp_path / "whatshap")
+    with open(stub, "w") as f:
+        f.write(f"""#!{sys.executable}
+import shutil, sys
+with open({log!r}, "a") as lf:
+    lf.write(" ".join(sys.argv[1:]) + "\\n")
+args = sys.argv[1:]
+out = args[args.index("--output") + 1]
+if args[0] == "phase":
+    shutil.copyfile(args[-2], out)   # phased VCF := input VCF (gz passthrough)
+else:
+    shutil.copyfile(args[-1], out)   # tagged BAM := input BAM
+""")
+    os.chmod(stub, os.stat(stub).st_mode | stat.S_IEXEC)
+
+    out_bam = str(tmp_path / "tagged.bam")
+    result = phase_and_haplotag(bam_path, ref, vcf, out_bam,
+                                phaser="whatshap", whatshap=stub)
+    assert result == out_bam and os.path.getsize(out_bam) > 0
+    calls = open(log).read().splitlines()
+    assert len(calls) == 2
+    assert calls[0].startswith("phase ") and "--distrust-genotypes" in calls[0]
+    assert calls[1].startswith("haplotag ") and "--ignore-read-groups" in calls[1]
+    # the emulated output is a readable BAM (stub copies the input)
+    from clair3_rna_tpu.io.bam import BamReader
+    assert len(list(BamReader(out_bam).fetch("chr1"))) > 0
+
+    # a missing tool fails with a clear error, not a cryptic subprocess one
+    import pytest
+    with pytest.raises(FileNotFoundError, match="longphase not found"):
+        phase_and_haplotag(bam_path, ref, vcf, out_bam, phaser="longphase",
+                           longphase=str(tmp_path / "nope"))
