@@ -96,3 +96,33 @@ def test_fused_chunk_caller_direct(tmp_path, monkeypatch):
     assert out is not None
     rows, n = out
     assert n == len(records)
+
+
+def test_fused_with_manifest_resume(tmp_path, monkeypatch):
+    """Fused-path rows persist in contig manifests and restore on --resume,
+    matching a fresh host-path run."""
+    import json
+    import os
+
+    fasta, bam = _dataset(tmp_path, seed=44, contig_len=30_000, n_variants=90)
+    params = init_params(0)
+    mdir = str(tmp_path / "manifests")
+    monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", "fused")
+    out1 = str(tmp_path / "first.vcf")
+    run_calling(bam, fasta, out1, cfg=PileupConfig(batch_size=256),
+                call_cfg=CallConfig(show_ref=True), params=params,
+                contigs=["chr1"], chunk_size=10_000, compress=False,
+                progress=False, manifest_dir=mdir)
+    assert os.path.exists(os.path.join(mdir, "chr1.done.json"))
+    rows_manifest = json.load(open(os.path.join(mdir, "chr1.done.json")))
+    assert rows_manifest["rows"]
+
+    # resume run restores from the manifest (no rebuild) and matches
+    out2 = str(tmp_path / "resumed.vcf")
+    run_calling(bam, fasta, out2, cfg=PileupConfig(batch_size=256),
+                call_cfg=CallConfig(show_ref=True), params=params,
+                contigs=["chr1"], chunk_size=10_000, compress=False,
+                progress=False, manifest_dir=mdir, resume=True)
+    a = [l for l in open(out1) if not l.startswith("#")]
+    b = [l for l in open(out2) if not l.startswith("#")]
+    assert a == b and len(a) > 20
