@@ -11,16 +11,15 @@ chunks across devices/hosts (clair3_rna_tpu.parallel) instead of OS processes.
 import logging
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from clair3_rna_tpu import config
 from clair3_rna_tpu.config import PileupConfig
 from clair3_rna_tpu.caller.decode import CallConfig, decode_batch
-from clair3_rna_tpu.io.bam import BamReader
 from clair3_rna_tpu.io.fasta import FastaFile
-from clair3_rna_tpu.pileup.chunk import ChunkTask, build_chunk_tensors, plan_chunks
+from clair3_rna_tpu.pileup.chunk import build_chunk_tensors, plan_chunks
 from clair3_rna_tpu.postprocess.sort_vcf import load_rediportal, sort_rows
 from clair3_rna_tpu.task import GT21_LABEL_INDEX
 

@@ -9,7 +9,7 @@ dependency."""
 
 from dataclasses import dataclass
 
-from clair3_rna_tpu.evaluation.compare_vcf import Metrics, compare_vcf
+from clair3_rna_tpu.evaluation.compare_vcf import compare_vcf
 from clair3_rna_tpu.io.vcf import VcfReader
 
 

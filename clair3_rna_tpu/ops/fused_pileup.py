@@ -34,8 +34,6 @@ reports its device-side throughput with pre-staged arrays.
 """
 
 from dataclasses import dataclass
-from functools import partial
-
 import numpy as np
 
 from clair3_rna_tpu import config
