@@ -192,16 +192,15 @@ def _bench_fused_device(bam_path, fasta_path, params, cfg):
     from clair3_rna_tpu import config as _c
     from clair3_rna_tpu.caller.decode import CallConfig
     from clair3_rna_tpu.io.fasta import FastaFile
-    from clair3_rna_tpu.ops.fused_pileup import FusedChunkCaller, stage_chunk
+    from clair3_rna_tpu.ops.fused_pileup import (FusedChunkCaller,
+                                                 stage_chunk, staged_args)
     from clair3_rna_tpu.pileup.chunk import (extract_region_events, open_bam,
                                              plan_chunks, ref_codes_from)
 
     fasta = FastaFile(fasta_path)
     bam = open_bam(bam_path)
-    caller = FusedChunkCaller(params, cfg, CallConfig(show_ref=False))
     staged_dev = []
     n_events = 0
-    n_cands = 0
     for task in plan_chunks(fasta, contigs=["chr1"], chunk_size=100_000):
         contig_len = fasta.contig_length(task.ctg_name)
         row_lo = max(0, task.start - 33)
@@ -213,27 +212,33 @@ def _bench_fused_device(bam_path, fasta_path, params, cfg):
         ev = extract_region_events(bam, task.ctg_name, row_lo, row_hi, cfg)
         n_events += len(ev.base_pos) + len(ev.star_pos)
         st = stage_chunk(ev, codes, cfg, row_lo, row_hi)
-        arrs = [st.ev_pos, st.ev_chan, st.ev_group, st.ev_rank, st.ev_weight,
-                st.cover_pos, st.cover_delta, st.i1_pos, st.i1_vals,
-                st.ref_code, st.thr_snp, st.thr_indel,
-                np.asarray([st.core_lo, st.core_hi], np.int32)]
-        staged_dev.append([jax.device_put(a) for a in arrs])
-    # warm all bucket shapes
-    for args in staged_dev:
-        caller.fused(*args)[0].block_until_ready()
-    t0 = time.time()
-    outs = [caller.fused(*args) for args in staged_dev]
-    for out in outs:
-        out[0].block_until_ready()
-    dt = time.time() - t0
-    n_cands = int(sum(np.asarray(o[0]) for o in outs))
-    return {"n_candidates": n_cands, "n_events": int(n_events),
-            "device_s": round(dt, 4),
-            "sites_per_s": round(n_cands / dt, 1),
-            "events_per_s": round(n_events / dt, 1),
-            "note": ("fused jit (count scatter + mask + gather + network + "
-                     "prescreen) with events pre-staged in HBM; excludes "
-                     "host event extraction and link transfer")}
+        staged_dev.append([jax.device_put(a) for a in staged_args(st)])
+
+    def _time_mode(scatter):
+        caller = FusedChunkCaller(params, cfg, CallConfig(show_ref=False),
+                                  scatter=scatter)
+        for args in staged_dev:  # warm all bucket shapes
+            np.asarray(caller.fused(*args)[0])
+        # timed region ends at a VALUE fetch: on the tunnel-attached chip
+        # block_until_ready can return before execution finishes, so only
+        # materializing bytes on the host proves completion
+        t0 = time.time()
+        outs = [caller.fused(*args) for args in staged_dev]
+        n_cands = int(sum(int(np.asarray(o[0])) for o in outs))
+        dt = time.time() - t0
+        return {"n_candidates": n_cands, "n_events": int(n_events),
+                "scatter": scatter, "device_s": round(dt, 4),
+                "sites_per_s": round(n_cands / dt, 1),
+                "events_per_s": round(n_events / dt, 1)}
+
+    from clair3_rna_tpu.ops.fused_pileup import resolve_scatter
+    result = _time_mode(resolve_scatter())
+    result["note"] = ("fused jit (count scatter + mask + gather + network + "
+                      "prescreen) with events pre-staged in HBM; excludes "
+                      "host event extraction and link transfer")
+    if result["scatter"] == "pallas":  # scatter ablation on real TPU
+        result["xla_scatter_ablation"] = _time_mode("xla")
+    return result
 
 
 def _timed_runs(bam_path, fasta_path, cfg, call_cfg, params, forward, *,

@@ -33,11 +33,13 @@ device-side BAM decode stage) and as the north-star demonstration. bench.py
 reports its device-side throughput with pre-staged arrays.
 """
 
+import os
 from dataclasses import dataclass
 import numpy as np
 
 from clair3_rna_tpu import config
 from clair3_rna_tpu.config import PileupConfig
+from clair3_rna_tpu.ops import fused_scatter as fsc
 
 FLANK = config.FLANKING_BASE_NUM
 WINDOW = config.NO_OF_POSITIONS
@@ -83,11 +85,17 @@ class StagedChunk:
     core_lo: int          # candidate emission bounds (absolute offsets)
     core_hi: int
     start: int            # absolute 0-based position of offset 0
-    ev_pos: np.ndarray    # [E] int32 position offsets
-    ev_chan: np.ndarray   # [E] int32 channel 0..17
-    ev_group: np.ndarray  # [E] int32 0..5, GROUP_NONE for stars
+    ev_pos: np.ndarray    # [E] int32 position offsets (tile-bucketed;
+    #                       pads sit at `width`, inert in both scatters)
+    ev_chan: np.ndarray   # [E] int8 channel 0..17
+    ev_group: np.ndarray  # [E] int8 0..5, GROUP_NONE for stars, 7 for pads
     ev_rank: np.ndarray   # [E] int32
-    ev_weight: np.ndarray  # [E] int32 1 real / 0 pad
+    ev_weight: np.ndarray  # [E] int8 1 real / 0 pad
+    visit_tiles: np.ndarray   # Pallas scatter visit list (fused_scatter)
+    visit_blocks: np.ndarray
+    visit_firsts: np.ndarray
+    visit_lasts: np.ndarray
+    visit_valid: np.ndarray
     cover_pos: np.ndarray    # [R] int32 positions with cover-count deltas
     cover_delta: np.ndarray  # [R] int32
     i1_pos: np.ndarray    # [K] int32 positions with I1/i1/D1/d1 patches
@@ -151,16 +159,20 @@ def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
     nz = np.nonzero(diff)[0].astype(np.int32)
     cover_pos, cover_delta = nz, diff[nz]
 
-    # 1-byte channel/group/weight on the wire (cast on device): 11 B/event
-    ev_weight = np.ones(len(ev_pos), np.int8)
+    # 1-byte channel/group/weight on the wire (cast on device): 11 B/event.
+    # Events are bucketed by 512-position tile (stable radix sort, O(E)) so
+    # the Pallas scatter kernel sees contiguous per-tile ranges; the XLA
+    # segment ops are order-invariant, so both scatters share the layout.
+    b = fsc.bucket_events(ev_pos, ev_chan, ev_group, ev_rank, width_pad)
+    ev_weight = (b["ev_pos"] < width_pad).astype(np.int8)
     return StagedChunk(
         width=width_pad, core_lo=core_lo - events.start,
         core_hi=core_hi - events.start, start=events.start,
-        ev_pos=_pad_pow2(ev_pos, 0),
-        ev_chan=_pad_pow2(ev_chan.astype(np.int8), 0),
-        ev_group=_pad_pow2(ev_group.astype(np.int8), 7),  # seg 7 discarded
-        ev_rank=_pad_pow2(ev_rank, np.int32(2**31 - 1)),
-        ev_weight=_pad_pow2(ev_weight, np.int8(0)),
+        ev_pos=b["ev_pos"], ev_chan=b["ev_chan"], ev_group=b["ev_group"],
+        ev_rank=b["ev_rank"], ev_weight=ev_weight,
+        visit_tiles=b["visit_tiles"], visit_blocks=b["visit_blocks"],
+        visit_firsts=b["visit_firsts"], visit_lasts=b["visit_lasts"],
+        visit_valid=b["visit_valid"],
         cover_pos=_pad_pow2(cover_pos, 0, min_size=256),
         cover_delta=_pad_pow2(cover_delta, 0, min_size=256),
         i1_pos=_pad_pow2(i1_pos, 0, min_size=256),
@@ -173,13 +185,17 @@ def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
 
 
 def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
-                  add_indel_length=False):
+                  add_indel_length=False, scatter="xla"):
     """Build the single-jit fused function over staged device arrays.
 
-    Returns fused(ev_pos, ev_chan, ev_group, ev_rank, cover_pos, cover_delta,
-    i1_pos, i1_vals, ref_code, thr_snp, thr_indel, core) ->
-    (n_cand, cand_idx, probs+mask, gcounts, granks, ref_count, depth,
-     needs_host) with static [max_candidates] shapes.
+    Returns fused(*staged_args) -> (n_cand, cand_idx, probs+mask, gcounts,
+    granks, ref_count, depth, needs_host) with static [max_candidates]
+    shapes.
+
+    `scatter` picks the O(events) count/rank reduction: "xla" (segment ops,
+    lowered to serialized TPU scatter), "pallas" (ops/fused_scatter MXU/VPU
+    tile kernel), or "pallas_interpret" (the kernel's interpreter, for CPU
+    tests). Identical integer results by construction.
     """
     import jax
     import jax.numpy as jnp
@@ -199,17 +215,32 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
     CI = config.CHANNEL_INDEX
 
     @jax.jit
-    def fused(ev_pos, ev_chan, ev_group, ev_rank, ev_weight, cover_pos,
-              cover_delta, i1_pos, i1_vals, ref_code, thr_snp, thr_indel,
-              core):
+    def fused(ev_pos, ev_chan, ev_group, ev_rank, ev_weight, visit_tiles,
+              visit_blocks, visit_firsts, visit_lasts, visit_valid,
+              cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
+              thr_indel, core):
         W = ref_code.shape[0]
-        ev_chan = ev_chan.astype(jnp.int32)
-        ev_group = ev_group.astype(jnp.int32)
-        # 1. channel count image (exact integer scatter; pads weigh 0)
-        idx = ev_pos * N_CH + ev_chan
-        counts = jax.ops.segment_sum(
-            ev_weight.astype(jnp.int32), idx, num_segments=W * N_CH,
-            indices_are_sorted=False).reshape(W, N_CH)
+        # 1+2. channel count image + first-occurrence group ranks (exact
+        # integer reductions; pads sit at position W, inert either way)
+        if scatter == "xla":
+            ev_chan32 = ev_chan.astype(jnp.int32)
+            ev_group32 = ev_group.astype(jnp.int32)
+            pos_c = jnp.minimum(ev_pos, W - 1)
+            idx = pos_c * N_CH + ev_chan32
+            counts = jax.ops.segment_sum(
+                ev_weight.astype(jnp.int32), idx, num_segments=W * N_CH,
+                indices_are_sorted=False).reshape(W, N_CH)
+            gidx = pos_c * 8 + jnp.where(ev_pos < W,
+                                         jnp.minimum(ev_group32, 7), 7)
+            grank6 = jax.ops.segment_min(
+                ev_rank, gidx, num_segments=W * 8).reshape(W, 8)[:, :6]
+        else:
+            counts_f, ranks_f = fsc.fused_scatter(
+                ev_pos, ev_chan, ev_group, ev_rank.astype(jnp.float32),
+                visit_tiles, visit_blocks, visit_firsts, visit_lasts,
+                visit_valid, W, interpret=(scatter == "pallas_interpret"))
+            counts = counts_f[:N_CH, :].T.astype(jnp.int32)
+            grank6 = ranks_f[:6, :].T.astype(jnp.int32)
         counts = counts.at[i1_pos, :].add(
             jnp.zeros((i1_pos.shape[0], N_CH), counts.dtype)
             .at[:, CI["I1"]].set(i1_vals[:, 0])
@@ -217,17 +248,13 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
             .at[:, CI["D1"]].set(i1_vals[:, 2])
             .at[:, CI["d1"]].set(i1_vals[:, 3]))
 
-        # 2. case-merged groups + first-occurrence ranks
         gcount = jnp.stack([
             counts[:, 0] + counts[:, 9], counts[:, 1] + counts[:, 10],
             counts[:, 2] + counts[:, 11], counts[:, 3] + counts[:, 12],
             counts[:, CI["I"]] + counts[:, CI["i"]],
             counts[:, CI["D"]] + counts[:, CI["d"]],
         ], axis=1)                                            # [W, 6]
-        gidx = ev_pos * 8 + jnp.minimum(ev_group, 7)
-        grank = jax.ops.segment_min(
-            ev_rank, gidx, num_segments=W * 8).reshape(W, 8)[:, :6]
-        grank = jnp.where(gcount > 0, grank, RANK_INF)
+        grank = jnp.where(gcount > 0, grank6, RANK_INF)
 
         # 3. coverage / depth / derived features (finalize_features mirror)
         cover = jnp.cumsum(jax.ops.segment_sum(
@@ -312,6 +339,30 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
     return fused
 
 
+def staged_args(st: StagedChunk):
+    """Positional argument list for the fused fn from a StagedChunk."""
+    return [st.ev_pos, st.ev_chan, st.ev_group, st.ev_rank, st.ev_weight,
+            st.visit_tiles, st.visit_blocks, st.visit_firsts, st.visit_lasts,
+            st.visit_valid,
+            st.cover_pos, st.cover_delta, st.i1_pos, st.i1_vals, st.ref_code,
+            st.thr_snp, st.thr_indel,
+            np.asarray([st.core_lo, st.core_hi], np.int32)]
+
+
+def resolve_scatter(default_backend=None):
+    """Scatter mode from CLAIR3_RNA_TPU_FUSED_SCATTER (auto|pallas|xla|
+    pallas_interpret); auto = Pallas kernel on TPU, XLA elsewhere."""
+    mode = os.environ.get("CLAIR3_RNA_TPU_FUSED_SCATTER", "auto")
+    if mode == "auto":
+        if default_backend is None:
+            import jax
+            default_backend = jax.default_backend()
+        return "pallas" if default_backend == "tpu" else "xla"
+    if mode not in ("pallas", "xla", "pallas_interpret"):
+        raise ValueError(f"bad CLAIR3_RNA_TPU_FUSED_SCATTER: {mode}")
+    return mode
+
+
 class FusedChunkCaller:
     """Chunk-level driver around the fused jit: stage -> device -> rows.
 
@@ -321,7 +372,7 @@ class FusedChunkCaller:
     """
 
     def __init__(self, params, cfg: PileupConfig, call_cfg,
-                 max_candidates=1024):
+                 max_candidates=1024, scatter=None):
         # the padded candidate budget is the network's per-chunk batch: an
         # oversized budget burns device time on padding rows (the network,
         # not the count scatter, dominates the fused jit), and overflowing
@@ -333,9 +384,11 @@ class FusedChunkCaller:
         self.cfg = cfg
         self.call_cfg = call_cfg
         self.max_candidates = max_candidates
+        self.scatter = resolve_scatter() if scatter is None else scatter
         self.fused = make_fused_fn(params, cfg,
                                    max_candidates=max_candidates,
-                                   add_indel_length=call_cfg.add_indel_length)
+                                   add_indel_length=call_cfg.add_indel_length,
+                                   scatter=self.scatter)
 
     def call_chunk(self, events, ref_codes, ctg_name, ref_seq, ref_lo,
                    core_lo, core_hi):
@@ -348,14 +401,16 @@ class FusedChunkCaller:
         from clair3_rna_tpu.pileup.builder import (SparseIndels,
                                                    _alt_data_fast)
 
+        max_rank = max((int(a[-1]) for a in (events.base_rank,
+                                             events.ins_rank,
+                                             events.del_rank) if len(a)),
+                       default=0)
+        if self.scatter != "xla" and max_rank >= fsc.MAX_RANK:
+            return None  # rank exceeds exact-f32 range: host path handles
         staged = stage_chunk(events, ref_codes, self.cfg, core_lo, core_hi)
-        core = np.asarray([staged.core_lo, staged.core_hi], np.int32)
         (n_cand, cand, out, gcounts, granks, ref_count, depth_c,
-         needs_host) = [np.asarray(a) for a in self.fused(
-            staged.ev_pos, staged.ev_chan, staged.ev_group, staged.ev_rank,
-            staged.ev_weight, staged.cover_pos, staged.cover_delta,
-            staged.i1_pos, staged.i1_vals, staged.ref_code, staged.thr_snp,
-            staged.thr_indel, core)]
+         needs_host) = [np.asarray(a)
+                        for a in self.fused(*staged_args(staged))]
         n = int(n_cand)
         if n > self.max_candidates or needs_host.any():
             return None  # host path handles overflow / renorm chunks
