@@ -312,9 +312,16 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     from concurrent.futures import ThreadPoolExecutor
 
     def fused_one(task):
-        """Fused-path chunk; None -> host fallback."""
+        """Fused-path chunk; None -> host fallback.
+
+        Data (and window eligibility) span the +-33 halo, but candidates are
+        emitted over the chunk core [task.start, task.end) only: cores tile
+        the contig exactly, so fused candidate counts have no boundary
+        double-counting (host-path halo duplicates are identical rows that
+        the merge dedups away)."""
         from clair3_rna_tpu.pileup.chunk import (extract_region_events,
                                                  ref_codes_from)
+        from clair3_rna_tpu.pileup.packed import extract_region_packed
         window = config.NO_OF_POSITIONS
         contig_len = fasta.contig_length(task.ctg_name)
         row_lo = max(0, task.start - window)
@@ -323,10 +330,14 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         ref_hi = min(contig_len, task.end + config.EXPAND_REFERENCE_REGION)
         ref_seq = fasta.fetch(task.ctg_name, ref_lo, ref_hi)
         codes = ref_codes_from(ref_seq[row_lo - ref_lo: row_hi - ref_lo])
-        events = extract_region_events(bam, task.ctg_name, row_lo, row_hi,
-                                       cfg)
-        return fused_caller.call_chunk(events, codes, task.ctg_name, ref_seq,
-                                       ref_lo, row_lo, row_hi)
+        if fused_caller.mode == "packed":
+            data = extract_region_packed(bam, task.ctg_name, row_lo, row_hi,
+                                         cfg)
+        else:
+            data = extract_region_events(bam, task.ctg_name, row_lo, row_hi,
+                                         cfg)
+        return fused_caller.call_chunk(data, codes, task.ctg_name, ref_seq,
+                                       ref_lo, task.start, task.end)
 
     def build_one(task):
         t0 = time.time()

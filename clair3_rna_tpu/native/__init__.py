@@ -58,6 +58,43 @@ class _EventsOut(ctypes.Structure):
     ]
 
 
+class _PackedOut(ctypes.Structure):
+    _fields_ = [
+        ("n_rows", ctypes.c_int64),
+        ("n_tiles", ctypes.c_int64),
+        ("n_base", ctypes.c_int64),
+        ("tl_codes", ctypes.POINTER(ctypes.c_uint8)),
+        ("tl_tile", ctypes.POINTER(ctypes.c_int32)),
+        ("tl_rank", ctypes.POINTER(ctypes.c_int32)),
+        ("tl_strand", ctypes.POINTER(ctypes.c_int8)),
+        ("tl_hp", ctypes.POINTER(ctypes.c_int8)),
+        ("n_star", ctypes.c_int64),
+        ("star_pos", ctypes.POINTER(ctypes.c_int32)),
+        ("star_strand", ctypes.POINTER(ctypes.c_int8)),
+        ("star_hp", ctypes.POINTER(ctypes.c_int8)),
+        ("n_ins", ctypes.c_int64),
+        ("ins_pos", ctypes.POINTER(ctypes.c_int32)),
+        ("ins_strand", ctypes.POINTER(ctypes.c_int8)),
+        ("ins_rank", ctypes.POINTER(ctypes.c_int64)),
+        ("ins_hp", ctypes.POINTER(ctypes.c_int8)),
+        ("ins_allele", ctypes.POINTER(ctypes.c_int32)),
+        ("n_ins_seq", ctypes.c_int64),
+        ("ins_seq_blob", ctypes.POINTER(ctypes.c_char)),
+        ("ins_seq_blob_len", ctypes.c_int64),
+        ("n_del", ctypes.c_int64),
+        ("del_pos", ctypes.POINTER(ctypes.c_int32)),
+        ("del_strand", ctypes.POINTER(ctypes.c_int8)),
+        ("del_rank", ctypes.POINTER(ctypes.c_int64)),
+        ("del_hp", ctypes.POINTER(ctypes.c_int8)),
+        ("del_len", ctypes.POINTER(ctypes.c_int32)),
+        ("read_start_count", ctypes.POINTER(ctypes.c_int32)),
+        ("read_end_count", ctypes.POINTER(ctypes.c_int32)),
+        ("skip_fwd_count", ctypes.POINTER(ctypes.c_int32)),
+        ("skip_rev_count", ctypes.POINTER(ctypes.c_int32)),
+        ("cover_count", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
 class _FinalizeOut(ctypes.Structure):
     _fields_ = [
         ("depth", ctypes.POINTER(ctypes.c_int32)),
@@ -141,6 +178,11 @@ def get_library():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.free_events_native.argtypes = [ctypes.POINTER(_EventsOut)]
+        lib.extract_packed_native.restype = ctypes.POINTER(_PackedOut)
+        lib.extract_packed_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.free_packed_native.argtypes = [ctypes.POINTER(_PackedOut)]
         lib.build_tile_native.restype = ctypes.POINTER(_TileOut)
         lib.build_tile_native.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
@@ -252,6 +294,57 @@ class NativeBam:
             self._lib.free_events_native(out_ptr)
         return events
 
+
+    def extract_packed(self, contig: str, start: int, end: int,
+                       min_mq: int = 5, min_bq: int = 0,
+                       exclude_flags: int = 2316):
+        """Region -> PackedReads (tilelet rows + sparse events): the wire
+        format for device-side CIGAR expansion (ops/tilelet.py). Semantics
+        match pileup.packed.packed_from_events(extract_events(...)),
+        differentially tested in tests/test_tilelet.py."""
+        from clair3_rna_tpu.pileup.packed import HALF, PackedReads
+
+        out_ptr = self._lib.extract_packed_native(
+            self._handle, self.ref_index[contig], start, end,
+            min_mq, min_bq, exclude_flags)
+        out = out_ptr.contents
+        width = end - start
+        try:
+            blob = ctypes.string_at(out.ins_seq_blob, out.ins_seq_blob_len).decode() \
+                if out.ins_seq_blob_len else ""
+            ins_seqs = blob.split("\x00")[:out.n_ins_seq] if out.n_ins_seq else []
+            n = out.n_rows
+            packed = PackedReads(
+                start=start, end=end, n_base=int(out.n_base),
+                tl_codes=_copy(out.tl_codes, n * HALF, np.uint8)
+                .reshape(n, HALF),
+                tl_tile=_copy(out.tl_tile, n, np.int32),
+                tl_rank=_copy(out.tl_rank, n, np.int32),
+                tl_strand=_copy(out.tl_strand, n, np.int8),
+                tl_hp=_copy(out.tl_hp, n, np.int8),
+                star_pos=_copy(out.star_pos, out.n_star, np.int32),
+                star_strand=_copy(out.star_strand, out.n_star, np.int8),
+                star_hp=_copy(out.star_hp, out.n_star, np.int8),
+                ins_pos=_copy(out.ins_pos, out.n_ins, np.int32),
+                ins_strand=_copy(out.ins_strand, out.n_ins, np.int8),
+                ins_rank=_copy(out.ins_rank, out.n_ins, np.int64),
+                ins_hp=_copy(out.ins_hp, out.n_ins, np.int8),
+                ins_allele=_copy(out.ins_allele, out.n_ins, np.int32),
+                ins_seqs=ins_seqs,
+                del_pos=_copy(out.del_pos, out.n_del, np.int32),
+                del_strand=_copy(out.del_strand, out.n_del, np.int8),
+                del_rank=_copy(out.del_rank, out.n_del, np.int64),
+                del_hp=_copy(out.del_hp, out.n_del, np.int8),
+                del_len=_copy(out.del_len, out.n_del, np.int32),
+                read_start_count=_copy(out.read_start_count, width, np.int32),
+                read_end_count=_copy(out.read_end_count, width, np.int32),
+                skip_fwd_count=_copy(out.skip_fwd_count, width, np.int32),
+                skip_rev_count=_copy(out.skip_rev_count, width, np.int32),
+                cover_count=_copy(out.cover_count, width, np.int32),
+            )
+        finally:
+            self._lib.free_packed_native(out_ptr)
+        return packed
 
     def build_tile(self, contig: str, start: int, end: int, cfg,
                    ref_codes: np.ndarray | None = None):

@@ -1577,6 +1577,309 @@ void free_tile_native(TileOut* out) {
   delete out;
 }
 
+// ---------------------------------------------------------------------------
+// Packed-read extraction: the device-side CIGAR-expansion wire format.
+//
+// Instead of materializing one 11-byte event per aligned base (the
+// extract_events_native output the round-2 fused path shipped to HBM), this
+// emits "tilelet" rows: for each (read, 512-position tile) pair the read's
+// aligned base codes are written nibble-packed at their tile-relative
+// offsets. The wire cost is ~0.5-0.9 B/base (vs 11 B/event), and the work
+// here is a LUT-store per base -- no per-base vector pushes -- so extraction
+// runs at count-kernel speed. Star placeholders, insertions and deletions
+// (sparse, ~1% of events in RNA data) stay as flat event arrays; the device
+// kernel (ops/tilelet.py) expands tilelets into the channel-count image.
+// Replaces the reference's per-read expansion loop
+// (src/create_tensor_pileup.py:485-611,113-176) on the device side.
+// ---------------------------------------------------------------------------
+
+struct PackedOut {
+  int64_t n_rows;           // tilelet rows, sorted by tile
+  int64_t n_tiles;          // ceil(width / 512)
+  int64_t n_base;           // base codes written (event accounting)
+  uint8_t* tl_codes;        // [n_rows * 256] nibble-packed: even offset in the
+                            // high nibble, odd in the low; 0xF = empty
+  int32_t* tl_tile;         // [n_rows] tile index (nondecreasing)
+  int32_t* tl_rank;         // [n_rows] 2 * read_index
+  int8_t* tl_strand;        // [n_rows]
+  int8_t* tl_hp;            // [n_rows]
+  // sparse events (identical semantics to EventsOut)
+  int64_t n_star;
+  int32_t* star_pos;
+  int8_t* star_strand;
+  int8_t* star_hp;
+  int64_t n_ins;
+  int32_t* ins_pos;
+  int8_t* ins_strand;
+  int64_t* ins_rank;
+  int8_t* ins_hp;
+  int32_t* ins_allele;
+  int64_t n_ins_seq;
+  char* ins_seq_blob;
+  int64_t ins_seq_blob_len;
+  int64_t n_del;
+  int32_t* del_pos;
+  int8_t* del_strand;
+  int64_t* del_rank;
+  int8_t* del_hp;
+  int32_t* del_len;
+  // dense per-position arrays over [start, end)
+  int32_t* read_start_count;
+  int32_t* read_end_count;
+  int32_t* skip_fwd_count;
+  int32_t* skip_rev_count;
+  int32_t* cover_count;
+};
+
+PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
+                                 int64_t end, int32_t min_mq, int32_t min_bq,
+                                 int32_t exclude_flags) {
+  constexpr int TILE = 512;
+  constexpr int TILE_BYTES = TILE / 2;
+  auto* bam = static_cast<BamFile*>(handle);
+  const int64_t width = end - start;
+  const int64_t n_tiles = width > 0 ? (width + TILE - 1) / TILE : 0;
+
+  // per-tile row arenas (codes appended 256 bytes at a time)
+  struct RowMeta { int32_t rank; int8_t strand; int8_t hp; };
+  std::vector<std::vector<uint8_t>> tile_codes(n_tiles);
+  std::vector<std::vector<RowMeta>> tile_meta(n_tiles);
+
+  std::vector<int32_t> star_pos;
+  std::vector<int8_t> star_strand, star_hp;
+  std::vector<int32_t> ins_pos, ins_allele;
+  std::vector<int8_t> ins_strand, ins_hp;
+  std::vector<int64_t> ins_rank;
+  std::vector<int32_t> del_pos, del_len;
+  std::vector<int8_t> del_strand, del_hp;
+  std::vector<int64_t> del_rank;
+  std::vector<int32_t> read_start_count(width, 0), read_end_count(width, 0),
+      skip_fwd(width, 0), skip_rev(width, 0), cover_diff(width + 1, 0);
+  std::unordered_map<std::string, int32_t> allele_ids;
+  std::string ins_blob;
+  int64_t n_alleles = 0;
+  int64_t n_base = 0;
+
+  RegionRecords region;
+  if (!load_region_records(bam, ref_id, start, end, min_mq, exclude_flags,
+                           &region))
+    return nullptr;
+
+  for (size_t read_index = 0; read_index < region.records.size();
+       ++read_index) {
+    const RecordView& rv = region.records[read_index];
+    const int32_t rank = static_cast<int32_t>(2 * read_index);
+    const int8_t strand = (rv.flag & 0x10) ? 1 : 0;
+
+    const uint8_t* body = rv.body;
+    uint8_t l_read_name = body[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, body + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, body + 16, 4);
+    const uint8_t* cig = body + 32 + l_read_name;
+    const uint8_t* seq = cig + 4 * n_cigar;
+    const uint8_t* qual = seq + (l_seq + 1) / 2;
+    const uint8_t* tags = qual + l_seq;
+    const int8_t hp = static_cast<int8_t>(parse_hp_tag(tags, body + rv.body_len));
+
+    if (rv.pos >= start && rv.pos < end) read_start_count[rv.pos - start] += 1;
+    if (rv.end - 1 >= start && rv.end - 1 < end)
+      read_end_count[rv.end - 1 - start] += 1;
+    int64_t clo = rv.pos > start ? rv.pos : start;
+    int64_t chi = rv.end < end ? rv.end : end;
+    if (clo < chi) {
+      cover_diff[clo - start] += 1;
+      cover_diff[chi - start] -= 1;
+    }
+
+    // a read visits tiles in nondecreasing order; one row per (read, tile)
+    int64_t cur_tile = -1;
+    uint8_t* cur_row = nullptr;
+
+    int64_t qpos = 0, rpos = rv.pos;
+    for (int k = 0; k < n_cigar; ++k) {
+      uint32_t v;
+      memcpy(&v, cig + 4 * k, 4);
+      int op = v & 0xF;
+      int64_t len = v >> 4;
+      if (op == CIGAR_M || op == CIGAR_EQ || op == CIGAR_X) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        int64_t p = lo;
+        while (p < hi) {
+          const int64_t off = p - start;
+          const int64_t t = off >> 9;
+          if (t != cur_tile) {
+            cur_tile = t;
+            tile_codes[t].resize(tile_codes[t].size() + TILE_BYTES, 0xFF);
+            tile_meta[t].push_back({rank, strand, hp});
+            cur_row = tile_codes[t].data() + tile_codes[t].size() - TILE_BYTES;
+          }
+          const int64_t tile_hi_abs = start + ((t + 1) << 9);
+          const int64_t run_hi = hi < tile_hi_abs ? hi : tile_hi_abs;
+          for (; p < run_hi; ++p) {
+            const int64_t qi = qpos + (p - rpos);
+            const uint8_t byte = seq[qi >> 1];
+            const uint8_t nt16 = (qi & 1) ? (byte & 0xF) : (byte >> 4);
+            int8_t code = code_of_nt16(nt16);
+            if (code >= 0 && min_bq > 0) {
+              const uint8_t q = qual[qi];
+              if (q != 0xFF && q < min_bq) code = -1;
+            }
+            if (code < 0) continue;  // slot stays 0xF (empty)
+            const int64_t o = (p - start) & (TILE - 1);
+            uint8_t& b = cur_row[o >> 1];
+            if (o & 1)
+              b = (b & 0xF0) | static_cast<uint8_t>(code);
+            else
+              b = (b & 0x0F) | static_cast<uint8_t>(code << 4);
+            ++n_base;
+          }
+        }
+        int64_t attach = rpos + len - 1;
+        if (attach >= start && attach < end && k + 1 < n_cigar) {
+          uint32_t nv;
+          memcpy(&nv, cig + 4 * (k + 1), 4);
+          int nop = nv & 0xF;
+          int64_t nlen = nv >> 4;
+          if (nop == CIGAR_I) {
+            std::string allele;
+            allele.reserve(nlen);
+            for (int64_t j = 0; j < nlen; ++j) {
+              const int64_t qi = qpos + len + j;
+              const uint8_t byte = seq[qi >> 1];
+              const uint8_t nt16 = (qi & 1) ? (byte & 0xF) : (byte >> 4);
+              allele.push_back(SEQ_NT16[nt16]);
+            }
+            auto it = allele_ids.find(allele);
+            int32_t id;
+            if (it == allele_ids.end()) {
+              id = static_cast<int32_t>(n_alleles++);
+              allele_ids.emplace(allele, id);
+              ins_blob += allele;
+              ins_blob.push_back('\0');
+            } else {
+              id = it->second;
+            }
+            ins_pos.push_back(static_cast<int32_t>(attach));
+            ins_strand.push_back(strand);
+            ins_rank.push_back(rank + 1);
+            ins_hp.push_back(hp);
+            ins_allele.push_back(id);
+          } else if (nop == CIGAR_D) {
+            del_pos.push_back(static_cast<int32_t>(attach));
+            del_strand.push_back(strand);
+            del_rank.push_back(rank + 1);
+            del_hp.push_back(hp);
+            del_len.push_back(static_cast<int32_t>(nlen));
+          }
+        }
+        qpos += len;
+        rpos += len;
+      } else if (op == CIGAR_D) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        for (int64_t p = lo; p < hi; ++p) {
+          star_pos.push_back(static_cast<int32_t>(p));
+          star_strand.push_back(strand);
+          star_hp.push_back(hp);
+        }
+        rpos += len;
+      } else if (op == CIGAR_N) {
+        int64_t lo = rpos > start ? rpos : start;
+        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        if (lo < hi) {
+          auto& target = strand ? skip_rev : skip_fwd;
+          for (int64_t p = lo; p < hi; ++p) target[p - start] += 1;
+        }
+        rpos += len;
+      } else if (op == CIGAR_I || op == CIGAR_S) {
+        qpos += len;
+      }
+    }
+  }
+
+  // concatenate per-tile arenas in tile order
+  int64_t n_rows = 0;
+  for (int64_t t = 0; t < n_tiles; ++t)
+    n_rows += static_cast<int64_t>(tile_meta[t].size());
+  auto* out = new PackedOut();
+  out->n_rows = n_rows;
+  out->n_tiles = n_tiles;
+  out->n_base = n_base;
+  out->tl_codes = static_cast<uint8_t*>(malloc(n_rows * TILE_BYTES + 1));
+  out->tl_tile = static_cast<int32_t*>(malloc(n_rows * 4 + 1));
+  out->tl_rank = static_cast<int32_t*>(malloc(n_rows * 4 + 1));
+  out->tl_strand = static_cast<int8_t*>(malloc(n_rows + 1));
+  out->tl_hp = static_cast<int8_t*>(malloc(n_rows + 1));
+  int64_t r = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    const auto& meta = tile_meta[t];
+    if (meta.empty()) continue;
+    memcpy(out->tl_codes + r * TILE_BYTES, tile_codes[t].data(),
+           meta.size() * TILE_BYTES);
+    for (const RowMeta& m : meta) {
+      out->tl_tile[r] = static_cast<int32_t>(t);
+      out->tl_rank[r] = m.rank;
+      out->tl_strand[r] = m.strand;
+      out->tl_hp[r] = m.hp;
+      ++r;
+    }
+    tile_codes[t].clear();
+    tile_codes[t].shrink_to_fit();
+  }
+
+  std::vector<int32_t> cover(width);
+  int32_t acc = 0;
+  for (int64_t i = 0; i < width; ++i) {
+    acc += cover_diff[i];
+    cover[i] = acc;
+  }
+
+  out->n_star = static_cast<int64_t>(star_pos.size());
+  out->star_pos = steal(star_pos);
+  out->star_strand = steal(star_strand);
+  out->star_hp = steal(star_hp);
+  out->n_ins = static_cast<int64_t>(ins_pos.size());
+  out->ins_pos = steal(ins_pos);
+  out->ins_strand = steal(ins_strand);
+  out->ins_rank = steal(ins_rank);
+  out->ins_hp = steal(ins_hp);
+  out->ins_allele = steal(ins_allele);
+  out->n_ins_seq = n_alleles;
+  out->ins_seq_blob_len = static_cast<int64_t>(ins_blob.size());
+  out->ins_seq_blob = static_cast<char*>(malloc(ins_blob.size() + 1));
+  memcpy(out->ins_seq_blob, ins_blob.data(), ins_blob.size());
+  out->ins_seq_blob[ins_blob.size()] = '\0';
+  out->n_del = static_cast<int64_t>(del_pos.size());
+  out->del_pos = steal(del_pos);
+  out->del_strand = steal(del_strand);
+  out->del_rank = steal(del_rank);
+  out->del_hp = steal(del_hp);
+  out->del_len = steal(del_len);
+  out->read_start_count = steal(read_start_count);
+  out->read_end_count = steal(read_end_count);
+  out->skip_fwd_count = steal(skip_fwd);
+  out->skip_rev_count = steal(skip_rev);
+  out->cover_count = steal(cover);
+  return out;
+}
+
+void free_packed_native(PackedOut* out) {
+  if (!out) return;
+  free(out->tl_codes); free(out->tl_tile); free(out->tl_rank);
+  free(out->tl_strand); free(out->tl_hp);
+  free(out->star_pos); free(out->star_strand); free(out->star_hp);
+  free(out->ins_pos); free(out->ins_strand); free(out->ins_rank);
+  free(out->ins_hp); free(out->ins_allele); free(out->ins_seq_blob);
+  free(out->del_pos); free(out->del_strand); free(out->del_rank);
+  free(out->del_hp); free(out->del_len);
+  free(out->read_start_count); free(out->read_end_count);
+  free(out->skip_fwd_count); free(out->skip_rev_count); free(out->cover_count);
+  delete out;
+}
+
 void free_events_native(EventsOut* out) {
   if (!out) return;
   free(out->base_pos); free(out->base_code); free(out->base_strand);

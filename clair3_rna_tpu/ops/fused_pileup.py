@@ -24,13 +24,20 @@ Exactness strategy (VCF-identical to the host path):
   known-site restriction fall back to the host path wholesale (`needs_host`
   in the outputs; FusedChunkCaller.call_chunk returns None).
 
-Perf reality (measured, 2-vCPU host + tunnel-attached v5e): materializing
-flat event arrays costs ~6x the C++ in-place count (1.98s vs 0.34s per 1.2Mb
-at 35x) and shipping them costs ~5 B/event over a 139 MB/s link, so this
-path CANNOT beat the host tile builder end-to-end on a tunnel-attached chip;
-it exists for TPU-resident deployments (events already in HBM, e.g. a
-device-side BAM decode stage) and as the north-star demonstration. bench.py
-reports its device-side throughput with pre-staged arrays.
+Two wire formats feed the fused jit:
+
+- mode="packed" (default): PackedReads tilelet rows (~0.5-0.9 B/base,
+  extracted at memcpy speed by the C++ pass) expanded on device by the
+  ops/tilelet Pallas kernel; stars/indels (~1% of events) ride an XLA
+  segment-op side channel. This is the production TPU path.
+- mode="events": flat 11 B/event arrays through ops/fused_scatter -- the
+  round-2 formulation, kept as a differential oracle and ablation.
+
+Perf reality (measured, 2-vCPU host + tunnel-attached v5e): the events wire
+costs ~6x the C++ in-place count to materialize (1.98s vs 0.34s per 1.2Mb at
+35x) and ~11 B/event to ship, losing ~25x end-to-end on a 139 MB/s link; the
+packed wire is ~15x smaller and ~10x cheaper to extract, which is what lets
+the fused path beat the host tile builder end-to-end (bench.py fused_e2e).
 """
 
 import os
@@ -40,6 +47,7 @@ import numpy as np
 from clair3_rna_tpu import config
 from clair3_rna_tpu.config import PileupConfig
 from clair3_rna_tpu.ops import fused_scatter as fsc
+from clair3_rna_tpu.ops import tilelet as tlt
 
 FLANK = config.FLANKING_BASE_NUM
 WINDOW = config.NO_OF_POSITIONS
@@ -154,8 +162,13 @@ def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
 
     # cover-count deltas as a sparse (pos, delta) scatter (the dense
     # cover_count is already integrated on the host; its diff is sparse at
-    # read boundaries only)
-    diff = np.diff(np.concatenate([[0], events.cover_count])).astype(np.int32)
+    # read boundaries only). The closing delta at `width` matters: without
+    # it the device cumsum carries coverage into the pad region and the
+    # covered-run extents bleed past the region end, over-emitting
+    # candidates near the boundary (ids == width_pad are dropped by
+    # segment_sum when width == width_pad, where no pad region exists).
+    diff = np.diff(np.concatenate(
+        [[0], events.cover_count, [0]])).astype(np.int32)
     nz = np.nonzero(diff)[0].astype(np.int32)
     cover_pos, cover_delta = nz, diff[nz]
 
@@ -184,18 +197,160 @@ def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
     )
 
 
+@dataclass
+class StagedPacked:
+    """Host-staged packed-read arrays for one chunk (mode="packed").
+
+    The tilelet rows (bucketed by ops/tilelet.bucket_rows) carry the aligned
+    base codes nibble-packed; stars and indels ride the sparse side arrays.
+    All leading axes are power-of-two padded so a contig stream compiles a
+    handful of shapes."""
+
+    width: int
+    core_lo: int
+    core_hi: int
+    start: int
+    tl_codes: np.ndarray      # [R_pad, 256] uint8
+    tl_tile: np.ndarray       # [R_pad] int32
+    tl_rank: np.ndarray       # [R_pad] int32
+    tl_strand: np.ndarray     # [R_pad] int8
+    visit_tiles: np.ndarray
+    visit_blocks: np.ndarray
+    visit_firsts: np.ndarray
+    visit_lasts: np.ndarray
+    visit_valid: np.ndarray
+    sp_pos: np.ndarray        # [S_pad] int32 sparse star/ins/del events
+    sp_chan: np.ndarray       # [S_pad] int8
+    sp_group: np.ndarray      # [S_pad] int8 (4 ins, 5 del, 6 star, 7 pad)
+    sp_rank: np.ndarray       # [S_pad] int32
+    sp_weight: np.ndarray     # [S_pad] int8
+    cover_pos: np.ndarray
+    cover_delta: np.ndarray
+    i1_pos: np.ndarray
+    i1_vals: np.ndarray
+    ref_code: np.ndarray
+    thr_snp: np.ndarray
+    thr_indel: np.ndarray
+
+
+def _sparse_side(packed, width_pad):
+    """Star/ins/del events as padded flat arrays for the XLA side channel."""
+    start = packed.start
+    star_chan = np.where(packed.star_strand == 0, config.CHANNEL_INDEX["*"],
+                         config.CHANNEL_INDEX["#"]).astype(np.int8)
+    ins_chan = np.where(packed.ins_strand == 0, config.CHANNEL_INDEX["I"],
+                        config.CHANNEL_INDEX["i"]).astype(np.int8)
+    del_chan = np.where(packed.del_strand == 0, config.CHANNEL_INDEX["D"],
+                        config.CHANNEL_INDEX["d"]).astype(np.int8)
+    sp_pos = np.concatenate([
+        packed.star_pos - start, packed.ins_pos - start,
+        packed.del_pos - start]).astype(np.int32)
+    sp_chan = np.concatenate([star_chan, ins_chan, del_chan])
+    sp_group = np.concatenate([
+        np.full(len(packed.star_pos), GROUP_NONE, np.int8),
+        np.full(len(packed.ins_pos), 4, np.int8),
+        np.full(len(packed.del_pos), 5, np.int8)])
+    sp_rank = np.concatenate([
+        np.zeros(len(packed.star_pos), np.int64),
+        packed.ins_rank, packed.del_rank]).astype(np.int32)
+    sp_pos = _pad_pow2(sp_pos, width_pad, min_size=512)
+    sp_weight = (sp_pos < width_pad).astype(np.int8)
+    return (sp_pos, _pad_pow2(sp_chan, 0, min_size=512),
+            _pad_pow2(sp_group, 7, min_size=512),
+            _pad_pow2(sp_rank, tlt.MAX_RANK, min_size=512), sp_weight)
+
+
+def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
+                       core_hi, width_pad=None, scatter="xla"):
+    """PackedReads -> StagedPacked (one cheap host pass: visit bucketing over
+    ~rows, not ~events, plus the sparse side arrays)."""
+    width = packed.end - packed.start
+    if width_pad is None:
+        width_pad = 16384
+        while width_pad < width:
+            width_pad *= 2
+
+    if scatter == "xla":
+        # the XLA expansion needs no visit machinery: pad rows to a power of
+        # two only (inert rows point at tile n_tiles = beyond every position)
+        n_tiles = width_pad // tlt.POS_TILE
+        tl_tile = _pad_pow2(packed.tl_tile.astype(np.int32), n_tiles,
+                            min_size=64)
+        r_pad = len(tl_tile)
+        b = {
+            "tl_codes": np.full((r_pad, tlt.HALF), 0xFF, np.uint8),
+            "tl_tile": tl_tile,
+            "tl_rank": _pad_pow2(packed.tl_rank.astype(np.int32),
+                                 tlt.MAX_RANK, min_size=64),
+            "tl_strand": _pad_pow2(packed.tl_strand.astype(np.int8), 0,
+                                   min_size=64),
+            "visit_tiles": np.zeros(1, np.int32),
+            "visit_blocks": np.zeros(1, np.int32),
+            "visit_firsts": np.zeros(1, np.int32),
+            "visit_lasts": np.zeros(1, np.int32),
+            "visit_valid": np.zeros(1, np.int32),
+        }
+        b["tl_codes"][:len(packed.tl_codes)] = packed.tl_codes
+    else:
+        b = tlt.bucket_rows(packed.tl_tile, packed.tl_codes, packed.tl_rank,
+                            packed.tl_strand, width_pad)
+    sp_pos, sp_chan, sp_group, sp_rank, sp_weight = _sparse_side(
+        packed, width_pad)
+
+    from clair3_rna_tpu.pileup.builder import _max_per_allele
+    ins_max = _max_per_allele(packed.ins_pos - packed.start,
+                              packed.ins_strand, packed.ins_allele,
+                              width, len(packed.ins_seqs))
+    n_del_alleles = int(packed.del_len.max()) + 1 if len(packed.del_len) else 0
+    del_max = _max_per_allele(packed.del_pos - packed.start,
+                              packed.del_strand, packed.del_len,
+                              width, n_del_alleles)
+    patch = np.concatenate([ins_max, del_max], axis=1)
+    i1_pos = np.nonzero(patch.any(axis=1))[0].astype(np.int32)
+    i1_vals = patch[i1_pos].astype(np.int32)
+
+    # include the closing delta at `width` (see stage_chunk: pad-region
+    # coverage bleed otherwise over-emits boundary candidates)
+    diff = np.diff(np.concatenate(
+        [[0], packed.cover_count, [0]])).astype(np.int32)
+    nz = np.nonzero(diff)[0].astype(np.int32)
+
+    return StagedPacked(
+        width=width_pad, core_lo=core_lo - packed.start,
+        core_hi=core_hi - packed.start, start=packed.start,
+        tl_codes=b["tl_codes"], tl_tile=b["tl_tile"], tl_rank=b["tl_rank"],
+        tl_strand=b["tl_strand"],
+        visit_tiles=b["visit_tiles"], visit_blocks=b["visit_blocks"],
+        visit_firsts=b["visit_firsts"], visit_lasts=b["visit_lasts"],
+        visit_valid=b["visit_valid"],
+        sp_pos=sp_pos, sp_chan=sp_chan, sp_group=sp_group, sp_rank=sp_rank,
+        sp_weight=sp_weight,
+        cover_pos=_pad_pow2(nz, 0, min_size=256),
+        cover_delta=_pad_pow2(diff[nz], 0, min_size=256),
+        i1_pos=_pad_pow2(i1_pos, 0, min_size=256),
+        i1_vals=_pad_pow2(i1_vals, 0, min_size=256),
+        ref_code=np.pad(ref_codes.astype(np.int8),
+                        (0, width_pad - width), constant_values=-1),
+        thr_snp=_af_thresholds(cfg.effective_snp_af),
+        thr_indel=_af_thresholds(cfg.effective_indel_min_af),
+    )
+
+
 def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
-                  add_indel_length=False, scatter="xla"):
+                  add_indel_length=False, scatter="xla", mode="events"):
     """Build the single-jit fused function over staged device arrays.
 
     Returns fused(*staged_args) -> (n_cand, cand_idx, probs+mask, gcounts,
     granks, ref_count, depth, needs_host) with static [max_candidates]
     shapes.
 
-    `scatter` picks the O(events) count/rank reduction: "xla" (segment ops,
-    lowered to serialized TPU scatter), "pallas" (ops/fused_scatter MXU/VPU
-    tile kernel), or "pallas_interpret" (the kernel's interpreter, for CPU
-    tests). Identical integer results by construction.
+    `mode` picks the wire format: "packed" (tilelet rows + sparse side
+    channel, from stage_chunk_packed) or "events" (flat event arrays, from
+    stage_chunk). `scatter` picks the O(events) reduction backend: "xla"
+    (segment ops, lowered to serialized TPU scatter), "pallas" (the
+    ops/tilelet or ops/fused_scatter kernel), or "pallas_interpret" (the
+    kernel's interpreter, for CPU tests). Identical integer results by
+    construction.
     """
     import jax
     import jax.numpy as jnp
@@ -214,33 +369,11 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
     RANK_INF = np.int32(2**31 - 1)
     CI = config.CHANNEL_INDEX
 
-    @jax.jit
-    def fused(ev_pos, ev_chan, ev_group, ev_rank, ev_weight, visit_tiles,
-              visit_blocks, visit_firsts, visit_lasts, visit_valid,
-              cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
-              thr_indel, core):
+    def _tail(counts, grank6, cover_pos, cover_delta, i1_pos, i1_vals,
+              ref_code, thr_snp, thr_indel, core):
+        """Steps 3-8, shared by both wire formats: i1 patch, features,
+        candidate mask, window gather, network, prescreen."""
         W = ref_code.shape[0]
-        # 1+2. channel count image + first-occurrence group ranks (exact
-        # integer reductions; pads sit at position W, inert either way)
-        if scatter == "xla":
-            ev_chan32 = ev_chan.astype(jnp.int32)
-            ev_group32 = ev_group.astype(jnp.int32)
-            pos_c = jnp.minimum(ev_pos, W - 1)
-            idx = pos_c * N_CH + ev_chan32
-            counts = jax.ops.segment_sum(
-                ev_weight.astype(jnp.int32), idx, num_segments=W * N_CH,
-                indices_are_sorted=False).reshape(W, N_CH)
-            gidx = pos_c * 8 + jnp.where(ev_pos < W,
-                                         jnp.minimum(ev_group32, 7), 7)
-            grank6 = jax.ops.segment_min(
-                ev_rank, gidx, num_segments=W * 8).reshape(W, 8)[:, :6]
-        else:
-            counts_f, ranks_f = fsc.fused_scatter(
-                ev_pos, ev_chan, ev_group, ev_rank.astype(jnp.float32),
-                visit_tiles, visit_blocks, visit_firsts, visit_lasts,
-                visit_valid, W, interpret=(scatter == "pallas_interpret"))
-            counts = counts_f[:N_CH, :].T.astype(jnp.int32)
-            grank6 = ranks_f[:6, :].T.astype(jnp.int32)
         counts = counts.at[i1_pos, :].add(
             jnp.zeros((i1_pos.shape[0], N_CH), counts.dtype)
             .at[:, CI["I1"]].set(i1_vals[:, 0])
@@ -336,6 +469,71 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         return (n_cand, cand, out, gcount[cc][:, :4], grank[cc][:, :4],
                 ref_count[cc], depth_c, needs_host)
 
+    if mode == "events":
+        @jax.jit
+        def fused(ev_pos, ev_chan, ev_group, ev_rank, ev_weight, visit_tiles,
+                  visit_blocks, visit_firsts, visit_lasts, visit_valid,
+                  cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
+                  thr_indel, core):
+            W = ref_code.shape[0]
+            # 1+2. channel count image + first-occurrence group ranks (exact
+            # integer reductions; pads sit at position W, inert either way)
+            if scatter == "xla":
+                ev_chan32 = ev_chan.astype(jnp.int32)
+                ev_group32 = ev_group.astype(jnp.int32)
+                pos_c = jnp.minimum(ev_pos, W - 1)
+                idx = pos_c * N_CH + ev_chan32
+                counts = jax.ops.segment_sum(
+                    ev_weight.astype(jnp.int32), idx, num_segments=W * N_CH,
+                    indices_are_sorted=False).reshape(W, N_CH)
+                gidx = pos_c * 8 + jnp.where(ev_pos < W,
+                                             jnp.minimum(ev_group32, 7), 7)
+                grank6 = jax.ops.segment_min(
+                    ev_rank, gidx, num_segments=W * 8).reshape(W, 8)[:, :6]
+            else:
+                counts_f, ranks_f = fsc.fused_scatter(
+                    ev_pos, ev_chan, ev_group, ev_rank.astype(jnp.float32),
+                    visit_tiles, visit_blocks, visit_firsts, visit_lasts,
+                    visit_valid, W, interpret=(scatter == "pallas_interpret"))
+                counts = counts_f[:N_CH, :].T.astype(jnp.int32)
+                grank6 = ranks_f[:6, :].T.astype(jnp.int32)
+            return _tail(counts, grank6, cover_pos, cover_delta, i1_pos,
+                         i1_vals, ref_code, thr_snp, thr_indel, core)
+    else:
+        @jax.jit
+        def fused(tl_codes, tl_tile, tl_rank, tl_strand, visit_tiles,
+                  visit_blocks, visit_firsts, visit_lasts, visit_valid,
+                  sp_pos, sp_chan, sp_group, sp_rank, sp_weight,
+                  cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
+                  thr_indel, core):
+            W = ref_code.shape[0]
+            # 1+2a. base channels + base group ranks from the tilelet rows
+            # (device-side CIGAR expansion)
+            if scatter == "xla":
+                counts_f, ranks_f = tlt.tilelet_expand_xla(
+                    tl_codes, tl_tile, tl_rank, tl_strand, W)
+            else:
+                counts_f, ranks_f = tlt.tilelet_expand(
+                    tl_codes, tl_tile, tl_rank.astype(jnp.float32),
+                    tl_strand, visit_tiles, visit_blocks, visit_firsts,
+                    visit_lasts, visit_valid, W,
+                    interpret=(scatter == "pallas_interpret"))
+            counts = counts_f[:N_CH, :].T.astype(jnp.int32)
+            grank6 = ranks_f[:6, :].T.astype(jnp.int32)
+            # 1+2b. sparse star/ins/del side channel (XLA segment ops; these
+            # are ~1% of events in RNA data)
+            pos_c = jnp.minimum(sp_pos, W - 1)
+            idx = pos_c * N_CH + sp_chan.astype(jnp.int32)
+            counts = counts + jax.ops.segment_sum(
+                sp_weight.astype(jnp.int32), idx,
+                num_segments=W * N_CH).reshape(W, N_CH)
+            gidx = pos_c * 8 + jnp.minimum(sp_group.astype(jnp.int32), 7)
+            sp_grank = jax.ops.segment_min(
+                sp_rank, gidx, num_segments=W * 8).reshape(W, 8)[:, :6]
+            grank6 = jnp.minimum(grank6, sp_grank)
+            return _tail(counts, grank6, cover_pos, cover_delta, i1_pos,
+                         i1_vals, ref_code, thr_snp, thr_indel, core)
+
     return fused
 
 
@@ -347,6 +545,26 @@ def staged_args(st: StagedChunk):
             st.cover_pos, st.cover_delta, st.i1_pos, st.i1_vals, st.ref_code,
             st.thr_snp, st.thr_indel,
             np.asarray([st.core_lo, st.core_hi], np.int32)]
+
+
+def staged_packed_args(st: StagedPacked):
+    """Positional argument list for the packed-mode fused fn."""
+    return [st.tl_codes, st.tl_tile, st.tl_rank, st.tl_strand,
+            st.visit_tiles, st.visit_blocks, st.visit_firsts, st.visit_lasts,
+            st.visit_valid,
+            st.sp_pos, st.sp_chan, st.sp_group, st.sp_rank, st.sp_weight,
+            st.cover_pos, st.cover_delta, st.i1_pos, st.i1_vals, st.ref_code,
+            st.thr_snp, st.thr_indel,
+            np.asarray([st.core_lo, st.core_hi], np.int32)]
+
+
+def resolve_mode():
+    """Wire format from CLAIR3_RNA_TPU_FUSED_MODE (packed|events); packed --
+    the wire that wins end-to-end -- is the default."""
+    mode = os.environ.get("CLAIR3_RNA_TPU_FUSED_MODE", "packed")
+    if mode not in ("packed", "events"):
+        raise ValueError(f"bad CLAIR3_RNA_TPU_FUSED_MODE: {mode}")
+    return mode
 
 
 def resolve_scatter(default_backend=None):
@@ -372,7 +590,7 @@ class FusedChunkCaller:
     """
 
     def __init__(self, params, cfg: PileupConfig, call_cfg,
-                 max_candidates=1024, scatter=None):
+                 max_candidates=1024, scatter=None, mode=None):
         # the padded candidate budget is the network's per-chunk batch: an
         # oversized budget burns device time on padding rows (the network,
         # not the count scatter, dominates the fused jit), and overflowing
@@ -385,32 +603,49 @@ class FusedChunkCaller:
         self.call_cfg = call_cfg
         self.max_candidates = max_candidates
         self.scatter = resolve_scatter() if scatter is None else scatter
+        self.mode = resolve_mode() if mode is None else mode
         self.fused = make_fused_fn(params, cfg,
                                    max_candidates=max_candidates,
                                    add_indel_length=call_cfg.add_indel_length,
-                                   scatter=self.scatter)
+                                   scatter=self.scatter, mode=self.mode)
 
-    def call_chunk(self, events, ref_codes, ctg_name, ref_seq, ref_lo,
+    def call_chunk(self, data, ref_codes, ctg_name, ref_seq, ref_lo,
                    core_lo, core_hi):
         """One chunk: stage, run the fused jit, decode on host.
 
-        Returns (vcf_rows, n_candidates) or None for host fallback."""
+        `data` is a PackedReads (mode="packed") or PileupEvents
+        (mode="events"). Returns (vcf_rows, n_candidates) or None for host
+        fallback."""
         import numpy as np
 
         from clair3_rna_tpu.caller.decode import decode_batch
         from clair3_rna_tpu.pileup.builder import (SparseIndels,
                                                    _alt_data_fast)
 
-        max_rank = max((int(a[-1]) for a in (events.base_rank,
-                                             events.ins_rank,
-                                             events.del_rank) if len(a)),
-                       default=0)
-        if self.scatter != "xla" and max_rank >= fsc.MAX_RANK:
-            return None  # rank exceeds exact-f32 range: host path handles
-        staged = stage_chunk(events, ref_codes, self.cfg, core_lo, core_hi)
+        if self.mode == "packed":
+            if not hasattr(data, "tl_codes"):  # PileupEvents given: convert
+                from clair3_rna_tpu.pileup.packed import packed_from_events
+                data = packed_from_events(data)
+            if data.max_rank >= tlt.MAX_RANK:
+                return None  # rank exceeds exact-f32 range: host path handles
+            staged = stage_chunk_packed(data, ref_codes, self.cfg, core_lo,
+                                        core_hi, scatter=self.scatter)
+            args = staged_packed_args(staged)
+            indels = data.sparse_indels()
+        else:
+            events = data
+            max_rank = max((int(a[-1]) for a in (events.base_rank,
+                                                 events.ins_rank,
+                                                 events.del_rank) if len(a)),
+                           default=0)
+            if self.scatter != "xla" and max_rank >= fsc.MAX_RANK:
+                return None
+            staged = stage_chunk(events, ref_codes, self.cfg, core_lo,
+                                 core_hi)
+            args = staged_args(staged)
+            indels = SparseIndels.from_events(events)
         (n_cand, cand, out, gcounts, granks, ref_count, depth_c,
-         needs_host) = [np.asarray(a)
-                        for a in self.fused(*staged_args(staged))]
+         needs_host) = [np.asarray(a) for a in self.fused(*args)]
         n = int(n_cand)
         if n > self.max_candidates or needs_host.any():
             return None  # host path handles overflow / renorm chunks
@@ -419,7 +654,6 @@ class FusedChunkCaller:
         probs, needs_decode = out[:n, :-1], out[:n, -1] != 0.0
         if self.call_cfg.show_ref:
             needs_decode = np.ones(n, dtype=bool)
-        indels = SparseIndels.from_events(events)
         sel = np.nonzero(needs_decode)[0]
         pos_abs = cand.astype(np.int64) + staged.start
         ins_lo = np.searchsorted(indels.ins_pos, pos_abs, side="left")

@@ -1,0 +1,294 @@
+"""Pallas TPU kernel: device-side CIGAR expansion of packed read batches.
+
+This is the BASELINE.json north-star wire: instead of shipping one 11-byte
+event per aligned base to HBM (ops/fused_scatter's input), the host ships
+"tilelet" rows -- for each (read, 512-position tile) pair, the read's aligned
+base codes nibble-packed at their tile-relative offsets (~0.5-0.9 B/base,
+produced at memcpy speed by native/pileup_native.cc:extract_packed_native or
+pileup/packed.py). This kernel expands them into the 18-channel count image
+plus the first-occurrence group ranks, replacing the per-read expansion loop
+of the reference (src/create_tensor_pileup.py:485-611,113-176) with dense
+VPU work:
+
+  counts[c, p] = #rows r in tile(p) with code[r, p] == base(c), strand(c)
+  grank[g, p]  = min rank over rows with code[r, p] == g        (g in 0..3)
+
+Rows arrive tile-sorted; a scalar-prefetched visit list (tile, row-block)
+drives a sequential 1D grid exactly like ops/fused_scatter: the output tile
+accumulators stay in VMEM across a tile's consecutive visits and are DMA'd
+to HBM on the last. Blocks may straddle tiles -- rows are masked by their
+own tile id. Nibble-packed codes keep the HBM wire half-width; even/odd
+position columns are accumulated separately and interleaved by XLA after the
+kernel (a free relayout there, an awkward one inside it).
+
+Ranks are exact float32 (event ordinals < 2^24; staging falls back beyond).
+
+Differentially tested against a numpy oracle and the XLA expansion in
+tests/test_tilelet.py; the fused pipeline (ops/fused_pileup) selects it on
+TPU via CLAIR3_RNA_TPU_FUSED_SCATTER=auto|pallas|xla.
+"""
+
+import numpy as np
+
+LANE = 128
+POS_TILE = 512            # positions per output tile
+HALF = POS_TILE // 2      # nibble-packed bytes per row / even-odd lane count
+TILE_SHIFT = 9
+ROW_BLOCK = 32            # tilelet rows per visit
+C_PAD = 32                # 18 channels padded to a lane-friendly 32
+G_PAD = 8                 # 6 rank groups padded to 8
+RANK_INF_F = float(2 ** 30)
+MAX_RANK = 2 ** 24
+EMPTY = 15                # nibble value for "no base here"
+
+
+def bucket_rows(tl_tile, tl_codes, tl_rank, tl_strand, width_pad):
+    """Visit list + padded arrays for tile-sorted tilelet rows.
+
+    Mirrors fused_scatter.bucket_events' aligned-block visit construction,
+    but rows are already tile-sorted (the native extractor emits per-tile
+    arenas) so no sort happens here. Pad rows carry tile == n_tiles, which
+    matches no visit's tile, so they are masked inside the kernel.
+    """
+    n_tiles = width_pad // POS_TILE
+    tl_tile = np.asarray(tl_tile, np.int32)
+    r = len(tl_tile)
+    off = np.searchsorted(tl_tile, np.arange(n_tiles + 1))
+    nb = max(1, -(-r // ROW_BLOCK))
+
+    # per-tile aligned block range; empty tiles get one (inert) visit so
+    # their output block is zero-initialized exactly once
+    b0 = np.minimum(off[:-1] // ROW_BLOCK, nb - 1)
+    b1 = (np.maximum(off[1:], off[:-1] + 1) - 1) // ROW_BLOCK + 1
+    b1 = np.clip(b1, b0 + 1, nb)
+    nvis = (b1 - b0).astype(np.int64)
+    total = int(nvis.sum())
+    starts = np.concatenate([[0], np.cumsum(nvis)])
+    visit_tiles = np.repeat(np.arange(n_tiles, dtype=np.int32), nvis)
+    visit_blocks = (np.arange(total, dtype=np.int32)
+                    - np.repeat(starts[:-1], nvis).astype(np.int32)
+                    + np.repeat(b0, nvis).astype(np.int32))
+    visit_firsts = np.zeros(total, np.int32)
+    visit_firsts[starts[:-1]] = 1
+    visit_lasts = np.zeros(total, np.int32)
+    visit_lasts[starts[1:] - 1] = 1
+    visit_valid = np.ones(total, np.int32)
+
+    # pad rows to whole blocks, then a power of two of blocks
+    nb_pad = 1
+    while nb_pad < nb:
+        nb_pad *= 2
+    r_pad = nb_pad * ROW_BLOCK
+
+    def _pad(a, fill):
+        pad_shape = (r_pad - r,) + a.shape[1:]
+        return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+    tl_tile = _pad(tl_tile, np.int32(n_tiles))
+    tl_codes = _pad(np.asarray(tl_codes, np.uint8), np.uint8(0xFF))
+    tl_rank = _pad(np.asarray(tl_rank, np.int32), np.int32(MAX_RANK))
+    tl_strand = _pad(np.asarray(tl_strand, np.int8), np.int8(0))
+
+    # pad visits to a power of two with inert (valid=0) repeats
+    v_pad = 64
+    while v_pad < total:
+        v_pad *= 2
+    if v_pad > total:
+        visit_tiles = np.concatenate(
+            [visit_tiles, np.full(v_pad - total, visit_tiles[-1], np.int32)])
+        visit_blocks = np.concatenate(
+            [visit_blocks, np.zeros(v_pad - total, np.int32)])
+        visit_firsts = np.concatenate(
+            [visit_firsts, np.zeros(v_pad - total, np.int32)])
+        visit_lasts = np.concatenate(
+            [visit_lasts, np.zeros(v_pad - total, np.int32)])
+        visit_valid = np.concatenate(
+            [visit_valid, np.zeros(v_pad - total, np.int32)])
+
+    return {
+        "tl_codes": tl_codes, "tl_tile": tl_tile, "tl_rank": tl_rank,
+        "tl_strand": tl_strand,
+        "visit_tiles": visit_tiles, "visit_blocks": visit_blocks,
+        "visit_firsts": visit_firsts, "visit_lasts": visit_lasts,
+        "visit_valid": visit_valid,
+    }
+
+
+def _kernel(tiles_ref, blocks_ref, firsts_ref, lasts_ref, valid_ref,
+            codes_ref, rtile_ref, rrank_ref, rstrand_ref,
+            ce_hbm, co_hbm, re_hbm, ro_hbm,
+            ce_acc, co_acc, re_acc, ro_acc, sems):
+    """One grid step per (tile, row-block) visit, in tile order.
+
+    codes: [1, ROW_BLOCK, HALF] int32 packed bytes (two nibbles each);
+    rtile/rrank/rstrand: [1, ROW_BLOCK]. The e/o accumulators hold the even/
+    odd position columns of the tile and flush to HBM on the last visit.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    v = pl.program_id(0)
+
+    @pl.when(firsts_ref[v] == 1)
+    def _():
+        ce_acc[:, :] = jnp.zeros_like(ce_acc)
+        co_acc[:, :] = jnp.zeros_like(co_acc)
+        re_acc[:, :] = jnp.full_like(re_acc, RANK_INF_F)
+        ro_acc[:, :] = jnp.full_like(ro_acc, RANK_INF_F)
+
+    @pl.when(valid_ref[v] == 1)
+    def _():
+        tile = tiles_ref[v]
+        packed = codes_ref[0]                                # [K, HALF]
+        rmask = rtile_ref[0, :].reshape(ROW_BLOCK, 1) == tile
+        strand = rstrand_ref[0, :].reshape(ROW_BLOCK, 1)
+        rank = rrank_ref[0, :].reshape(ROW_BLOCK, 1)
+        for nib, cacc, racc in (((packed >> 4) & 15, ce_acc, re_acc),
+                                (packed & 15, co_acc, ro_acc)):
+            base = jnp.where(rmask, nib, EMPTY)              # [K, HALF]
+            cadd = jnp.zeros((C_PAD, HALF), jnp.float32)
+            rmin = jnp.full((G_PAD, HALF), RANK_INF_F, jnp.float32)
+            for code in range(4):
+                m = base == code
+                fwd = jnp.sum((m & (strand == 0)).astype(jnp.float32), axis=0)
+                rev = jnp.sum((m & (strand == 1)).astype(jnp.float32), axis=0)
+                cadd = cadd.at[code, :].set(fwd)
+                cadd = cadd.at[code + 9, :].set(rev)
+                rmin = rmin.at[code, :].set(
+                    jnp.min(jnp.where(m, rank, RANK_INF_F), axis=0))
+            cacc[:, :] += cadd
+            racc[:, :] = jnp.minimum(racc[:, :], rmin)
+
+    @pl.when(lasts_ref[v] == 1)
+    def _():
+        base = tiles_ref[v] * HALF
+        dmas = [pltpu.make_async_copy(acc, hbm.at[:, pl.ds(base, HALF)],
+                                      sems.at[i])
+                for i, (acc, hbm) in enumerate(
+                    ((ce_acc, ce_hbm), (co_acc, co_hbm),
+                     (re_acc, re_hbm), (ro_acc, ro_hbm)))]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+
+
+def tilelet_expand(tl_codes, tl_tile, tl_rank_f32, tl_strand,
+                   visit_tiles, visit_blocks, visit_firsts, visit_lasts,
+                   visit_valid, width_pad, interpret=False):
+    """counts[C_PAD, W] f32 and grank[G_PAD, W] f32 from bucketed tilelets.
+
+    Traceable (call inside jit); all shapes static given `bucket_rows`
+    outputs. tl_codes is uint8 [r_pad, HALF] (cast to int32 here so the HBM
+    wire stays one byte per two bases); tl_rank_f32 must be float32.
+    Only base channels (0-3, 9-12) and groups 0-3 are populated -- stars and
+    indels ride the sparse side channel in ops/fused_pileup.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r_pad = tl_codes.shape[0]
+    nb = r_pad // ROW_BLOCK
+    n_visits = visit_tiles.shape[0]
+    n_tiles = width_pad // POS_TILE
+    w_half = n_tiles * HALF
+
+    def _spec(shape):
+        ndim = len(shape)
+        if ndim == 3:
+            return pl.BlockSpec(
+                shape, lambda v, t, b, f, l, vv: (b[v], 0, 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            shape, lambda v, t, b, f, l, vv: (b[v], 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_visits,),
+        in_specs=[_spec((1, ROW_BLOCK, HALF)), _spec((1, ROW_BLOCK)),
+                  _spec((1, ROW_BLOCK)), _spec((1, ROW_BLOCK))],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+                        for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((C_PAD, HALF), jnp.float32),
+            pltpu.VMEM((C_PAD, HALF), jnp.float32),
+            pltpu.VMEM((G_PAD, HALF), jnp.float32),
+            pltpu.VMEM((G_PAD, HALF), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))
+    ce, co, re_, ro = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((cp, w_half), jnp.float32)
+            for cp in (C_PAD, C_PAD, G_PAD, G_PAD)),
+        interpret=interpret,
+        **kwargs,
+    )(visit_tiles, visit_blocks, visit_firsts, visit_lasts, visit_valid,
+      tl_codes.astype(jnp.int32).reshape(nb, ROW_BLOCK, HALF),
+      tl_tile.reshape(nb, ROW_BLOCK),
+      tl_rank_f32.reshape(nb, ROW_BLOCK),
+      tl_strand.astype(jnp.int32).reshape(nb, ROW_BLOCK))
+    # interleave even/odd position columns back into genome order
+    counts = jnp.stack([ce, co], axis=-1).reshape(C_PAD, width_pad)
+    granks = jnp.stack([re_, ro], axis=-1).reshape(G_PAD, width_pad)
+    return counts, granks
+
+
+def tilelet_expand_xla(tl_codes, tl_tile, tl_rank, tl_strand, width_pad):
+    """XLA fallback (scatter-based) with identical outputs; used on CPU and
+    for differential testing. Takes the same nibble-packed wire."""
+    import jax
+    import jax.numpy as jnp
+
+    r = tl_codes.shape[0]
+    packed = tl_codes.astype(jnp.int32)
+    codes = jnp.stack([(packed >> 4) & 15, packed & 15], axis=-1) \
+        .reshape(r, POS_TILE)
+    pos = (tl_tile.astype(jnp.int32)[:, None] * POS_TILE
+           + jnp.arange(POS_TILE, dtype=jnp.int32)[None, :])
+    valid = (codes < 4) & (pos < width_pad)
+    chan = jnp.where(valid, codes + 9 * tl_strand.astype(jnp.int32)[:, None],
+                     C_PAD - 1)
+    pos_c = jnp.minimum(pos, width_pad - 1)
+    idx = (pos_c * C_PAD + chan).ravel()
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32).ravel(), idx,
+        num_segments=width_pad * C_PAD).reshape(width_pad, C_PAD)
+    counts = counts.at[:, C_PAD - 1].set(0).T.astype(jnp.float32)
+
+    group = jnp.where(valid, codes, G_PAD - 1)
+    gidx = (pos_c * G_PAD + group).ravel()
+    rank_e = jnp.where(valid, tl_rank.astype(jnp.float32)[:, None],
+                       RANK_INF_F).ravel()
+    granks = jax.ops.segment_min(
+        rank_e, gidx, num_segments=width_pad * G_PAD) \
+        .reshape(width_pad, G_PAD)
+    granks = jnp.minimum(granks, RANK_INF_F) \
+        .at[:, G_PAD - 1].set(RANK_INF_F).T
+    return counts, granks
+
+
+def tilelet_oracle(tl_codes, tl_tile, tl_rank, tl_strand, width):
+    """Numpy reference: scalar loops over unpacked nibbles."""
+    counts = np.zeros((C_PAD, width), np.int64)
+    ranks = np.full((G_PAD, width), RANK_INF_F, np.float64)
+    for r in range(len(tl_tile)):
+        base = int(tl_tile[r]) * POS_TILE
+        for j in range(POS_TILE):
+            b = int(tl_codes[r, j // 2])
+            code = (b >> 4) if j % 2 == 0 else (b & 15)
+            p = base + j
+            if code < 4 and 0 <= p < width:
+                counts[code + 9 * int(tl_strand[r]), p] += 1
+                ranks[code, p] = min(ranks[code, p], float(tl_rank[r]))
+    return counts, ranks
