@@ -165,16 +165,26 @@ def bench_ours(fasta_path, bam_path):
     result["sustained_5mb"] = _timed_runs(su_bam, su_fasta, cfg, call_cfg,
                                           params, forward, n_runs=2,
                                           include_open=True)
-    # fused TPU-resident path (ops/fused_pileup): end-to-end (events
-    # extracted + shipped per chunk) and device-only (arrays pre-staged in
-    # HBM -- the TPU-resident deployment this path exists for)
+    # fused TPU-resident path (ops/fused_pileup): end-to-end (packed reads
+    # extracted + shipped per chunk, CIGARs expanded on device) and
+    # device-only (arrays pre-staged in HBM). The e2e run's VCF is diffed
+    # against the host run's -- fused_vcf_identical must be true.
+    host_vcf = _vcf_body(bam_path + ".bench_out.vcf")
     try:
         os.environ["CLAIR3_RNA_TPU_PILEUP_BACKEND"] = "fused"
         _timed_runs(bam_path, fasta_path, cfg, call_cfg, params, forward,
                     n_runs=1)  # warm fused compilations
         result["fused_e2e"] = _timed_runs(bam_path, fasta_path, cfg,
                                           call_cfg, params, forward,
-                                          n_runs=1)
+                                          n_runs=3)
+        fused_vcf = _vcf_body(bam_path + ".bench_out.vcf")
+        result["fused_e2e"]["fused_vcf_identical"] = fused_vcf == host_vcf
+        result["fused_e2e"]["mode"] = os.environ.get(
+            "CLAIR3_RNA_TPU_FUSED_MODE", "packed")
+        if fused_vcf != host_vcf:
+            raise RuntimeError(
+                f"fused VCF differs from host VCF: {len(fused_vcf)} vs "
+                f"{len(host_vcf)} rows")
     finally:
         os.environ.pop("CLAIR3_RNA_TPU_PILEUP_BACKEND", None)
     result["fused_device_only"] = _bench_fused_device(bam_path, fasta_path,
@@ -182,25 +192,39 @@ def bench_ours(fasta_path, bam_path):
     return result
 
 
+def _vcf_body(path):
+    return [l for l in open(path) if not l.startswith("#")]
+
+
 def _bench_fused_device(bam_path, fasta_path, params, cfg):
     """Device-side throughput of the fused jit with pre-staged HBM arrays:
-    what the north-star TPU-resident pipeline would sustain per chip once
-    events live in HBM (no host extraction or link transfer in the timed
-    region)."""
+    what the TPU-resident pipeline sustains per chip once the wire arrays
+    live in HBM (no host extraction or link transfer in the timed region).
+
+    Timing methodology (unchanged since BENCH_r02): every chunk's jit is
+    dispatched and each result's first scalar is fetched inside the timed
+    region -- on the tunnel-attached chip only materialized host bytes prove
+    execution finished, so per-chunk sync overhead is included. Wire bytes
+    per mode are recorded for the link-bandwidth crossover model (PERF.md).
+    """
     import jax
     import numpy as np
     from clair3_rna_tpu import config as _c
     from clair3_rna_tpu.caller.decode import CallConfig
     from clair3_rna_tpu.io.fasta import FastaFile
-    from clair3_rna_tpu.ops.fused_pileup import (FusedChunkCaller,
-                                                 stage_chunk, staged_args)
+    from clair3_rna_tpu.ops.fused_pileup import (
+        FusedChunkCaller, resolve_scatter, stage_chunk, stage_chunk_packed,
+        staged_args, staged_packed_args)
     from clair3_rna_tpu.pileup.chunk import (extract_region_events, open_bam,
                                              plan_chunks, ref_codes_from)
+    from clair3_rna_tpu.pileup.packed import extract_region_packed
 
     fasta = FastaFile(fasta_path)
     bam = open_bam(bam_path)
-    staged_dev = []
+    scatter = resolve_scatter()
+    regions = []
     n_events = 0
+    t_extract = {"packed": 0.0, "events": 0.0}
     for task in plan_chunks(fasta, contigs=["chr1"], chunk_size=100_000):
         contig_len = fasta.contig_length(task.ctg_name)
         row_lo = max(0, task.start - 33)
@@ -209,35 +233,55 @@ def _bench_fused_device(bam_path, fasta_path, params, cfg):
         ref_seq = fasta.fetch(task.ctg_name, ref_lo,
                               min(contig_len, task.end + _c.EXPAND_REFERENCE_REGION))
         codes = ref_codes_from(ref_seq[row_lo - ref_lo: row_hi - ref_lo])
+        t0 = time.time()
+        pk = extract_region_packed(bam, task.ctg_name, row_lo, row_hi, cfg)
+        t_extract["packed"] += time.time() - t0
+        t0 = time.time()
         ev = extract_region_events(bam, task.ctg_name, row_lo, row_hi, cfg)
-        n_events += len(ev.base_pos) + len(ev.star_pos)
-        st = stage_chunk(ev, codes, cfg, row_lo, row_hi)
-        staged_dev.append([jax.device_put(a) for a in staged_args(st)])
+        t_extract["events"] += time.time() - t0
+        n_events += pk.n_events
+        regions.append((task, pk, ev, codes, row_lo, row_hi))
 
-    def _time_mode(scatter):
+    def _stage(mode, scatter_mode):
+        staged_dev, wire_bytes = [], 0
+        for task, pk, ev, codes, row_lo, row_hi in regions:
+            if mode == "packed":
+                st = stage_chunk_packed(pk, codes, cfg, task.start, task.end,
+                                        scatter=scatter_mode)
+                args = staged_packed_args(st)
+            else:
+                st = stage_chunk(ev, codes, cfg, task.start, task.end,
+                                 scatter=scatter_mode)
+                args = staged_args(st)
+            wire_bytes += sum(a.nbytes for a in args)
+            staged_dev.append([jax.device_put(a) for a in args])
+        return staged_dev, wire_bytes
+
+    def _time_mode(mode, scatter_mode):
+        staged_dev, wire_bytes = _stage(mode, scatter_mode)
         caller = FusedChunkCaller(params, cfg, CallConfig(show_ref=False),
-                                  scatter=scatter)
+                                  scatter=scatter_mode, mode=mode)
         for args in staged_dev:  # warm all bucket shapes
             np.asarray(caller.fused(*args)[0])
-        # timed region ends at a VALUE fetch: on the tunnel-attached chip
-        # block_until_ready can return before execution finishes, so only
-        # materializing bytes on the host proves completion
         t0 = time.time()
         outs = [caller.fused(*args) for args in staged_dev]
         n_cands = int(sum(int(np.asarray(o[0])) for o in outs))
         dt = time.time() - t0
         return {"n_candidates": n_cands, "n_events": int(n_events),
-                "scatter": scatter, "device_s": round(dt, 4),
+                "mode": mode, "scatter": scatter_mode,
+                "device_s": round(dt, 4),
+                "wire_mb": round(wire_bytes / 1e6, 1),
+                "extract_s": round(t_extract[mode], 3),
                 "sites_per_s": round(n_cands / dt, 1),
                 "events_per_s": round(n_events / dt, 1)}
 
-    from clair3_rna_tpu.ops.fused_pileup import resolve_scatter
-    result = _time_mode(resolve_scatter())
-    result["note"] = ("fused jit (count scatter + mask + gather + network + "
-                      "prescreen) with events pre-staged in HBM; excludes "
-                      "host event extraction and link transfer")
-    if result["scatter"] == "pallas":  # scatter ablation on real TPU
-        result["xla_scatter_ablation"] = _time_mode("xla")
+    result = _time_mode("packed", scatter)
+    result["note"] = ("fused jit (device CIGAR expansion + mask + gather + "
+                      "network + prescreen) with packed reads pre-staged in "
+                      "HBM; excludes host extraction and link transfer")
+    if scatter == "pallas":  # wire/kernel ablations on real TPU
+        result["xla_scatter_ablation"] = _time_mode("packed", "xla")
+        result["events_wire_ablation"] = _time_mode("events", "pallas")
     return result
 
 

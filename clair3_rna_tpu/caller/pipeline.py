@@ -293,17 +293,20 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     gvcf_rows_by_contig: dict = {} if call_cfg.gvcf else None
 
     # opt-in fused TPU-resident path (ops/fused_pileup): the whole chunk --
-    # count scatter, candidate mask, window gather, network, prescreen --
-    # runs in ONE jit over staged event arrays; chunks it cannot handle
-    # (renorm-depth candidates, overflow) fall back to the host path below
+    # device CIGAR expansion, candidate mask, window gather, network,
+    # prescreen -- runs in ONE jit over staged packed-read arrays; chunks it
+    # cannot handle (renorm-depth candidates, splice-padding triggers,
+    # overflow) fall back to the host path below. Remaining gates: GVCF runs
+    # (which need every covered site's depth host-side anyway) and --debug.
     fused_caller = None
     if (os.environ.get("CLAIR3_RNA_TPU_PILEUP_BACKEND") == "fused"
-            and not cfg.phased and not cfg.enable_splice_padding
-            and not cfg.enable_head_tail and not call_cfg.gvcf
-            and not call_cfg.debug and known_vcf_positions is None
-            and bed_regions is None and params is not None):
+            and not call_cfg.gvcf
+            and not call_cfg.debug and params is not None):
         from clair3_rna_tpu.ops.fused_pileup import FusedChunkCaller
-        fused_caller = FusedChunkCaller(params, cfg, call_cfg)
+        fused_caller = FusedChunkCaller(
+            params, cfg, call_cfg,
+            known_only=known_vcf_positions is not None,
+            with_masks=bed_regions is not None)
 
     # build prefetch: the host builds chunk i+1 (C++ + numpy, GIL-releasing)
     # while the device runs inference on chunk i -- the in-process analogue of
@@ -336,8 +339,29 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         else:
             data = extract_region_events(bam, task.ctg_name, row_lo, row_hi,
                                          cfg)
+        cover_allow = cand_allow = None
+        if bed_regions is not None:
+            from clair3_rna_tpu.pileup.chunk import _extend_regions
+            extended = _extend_regions(bed_regions, task.ctg_name, window)
+            cover_allow = extended.mask_for_range(task.ctg_name, row_lo,
+                                                  row_hi)
+            mdl = np.zeros(row_hi - row_lo, np.int64)
+            if len(data.del_pos):
+                np.maximum.at(mdl, data.del_pos.astype(np.int64) - row_lo,
+                              data.del_len.astype(np.int64))
+            positions = np.arange(row_lo, row_hi, dtype=np.int64)
+            cand_allow = bed_regions.overlaps(task.ctg_name, positions,
+                                              positions + mdl + 2)
+        if known_vcf_positions is not None:
+            kp = np.asarray(known_vcf_positions.get(task.ctg_name, []),
+                            dtype=np.int64) - row_lo
+            kp = kp[(kp >= 0) & (kp < row_hi - row_lo)]
+            cand_allow = np.zeros(row_hi - row_lo, np.int8)
+            cand_allow[kp] = 1
         return fused_caller.call_chunk(data, codes, task.ctg_name, ref_seq,
-                                       ref_lo, task.start, task.end)
+                                       ref_lo, task.start, task.end,
+                                       cover_allow=cover_allow,
+                                       cand_allow=cand_allow)
 
     def build_one(task):
         t0 = time.time()

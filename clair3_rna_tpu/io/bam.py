@@ -243,8 +243,8 @@ class BamReader:
 
 class BamWriter:
     def __init__(self, path: str, references: list[tuple[str, int]],
-                 header_text: str | None = None):
-        self._w = BgzfWriter(path)
+                 header_text: str | None = None, threads: int = 1):
+        self._w = BgzfWriter(path, threads=threads)
         self.references = references
         self.ref_index = {name: i for i, (name, _) in enumerate(references)}
         if header_text is None:

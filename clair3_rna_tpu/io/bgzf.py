@@ -141,22 +141,48 @@ class BgzfReader:
 
 
 class BgzfWriter:
-    def __init__(self, path: str):
+    """BGZF writer; threads > 1 deflates blocks on a thread pool (zlib
+    releases the GIL) while this thread keeps packing records -- the
+    in-process analogue of `bgzip -@N`. Ordered writes are preserved by
+    draining futures FIFO; `virtual_offset` drains first so offsets remain
+    exact for index builders."""
+
+    def __init__(self, path: str, threads: int = 1):
         self._fp = open(path, "wb")
         self._pending = bytearray()
+        self._pool = None
+        self._futures = None
+        if threads > 1:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=threads)
+            self._futures = deque()
+            self._max_inflight = 4 * threads
+
+    def _drain(self, down_to=0):
+        while self._futures and len(self._futures) > down_to:
+            self._fp.write(self._futures.popleft().result())
 
     def write(self, data: bytes):
         self._pending.extend(data)
         while len(self._pending) >= _MAX_BLOCK_DATA:
             block = bytes(self._pending[:_MAX_BLOCK_DATA])
             del self._pending[:_MAX_BLOCK_DATA]
-            self._fp.write(_build_block(block))
+            if self._pool is not None:
+                self._futures.append(self._pool.submit(_build_block, block))
+                self._drain(down_to=self._max_inflight)
+            else:
+                self._fp.write(_build_block(block))
 
     @property
     def virtual_offset(self) -> int:
+        if self._pool is not None:
+            self._drain()
         return (self._fp.tell() << 16) | len(self._pending)
 
     def flush_block(self):
+        if self._pool is not None:
+            self._drain()
         if self._pending:
             self._fp.write(_build_block(bytes(self._pending)))
             self._pending.clear()
@@ -165,6 +191,8 @@ class BgzfWriter:
         self.flush_block()
         self._fp.write(BGZF_EOF)
         self._fp.close()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
 
     def __enter__(self):
         return self

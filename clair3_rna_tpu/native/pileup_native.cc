@@ -1634,7 +1634,8 @@ struct PackedOut {
 PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
                                  int64_t end, int32_t min_mq, int32_t min_bq,
                                  int32_t exclude_flags) {
-  constexpr int TILE = 512;
+  constexpr int TILE_SHIFT = 8;       // keep in sync with ops/tilelet.py
+  constexpr int TILE = 1 << TILE_SHIFT;
   constexpr int TILE_BYTES = TILE / 2;
   auto* bam = static_cast<BamFile*>(handle);
   const int64_t width = end - start;
@@ -1709,14 +1710,14 @@ PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
         int64_t p = lo;
         while (p < hi) {
           const int64_t off = p - start;
-          const int64_t t = off >> 9;
+          const int64_t t = off >> TILE_SHIFT;
           if (t != cur_tile) {
             cur_tile = t;
             tile_codes[t].resize(tile_codes[t].size() + TILE_BYTES, 0xFF);
             tile_meta[t].push_back({rank, strand, hp});
             cur_row = tile_codes[t].data() + tile_codes[t].size() - TILE_BYTES;
           }
-          const int64_t tile_hi_abs = start + ((t + 1) << 9);
+          const int64_t tile_hi_abs = start + ((t + 1) << TILE_SHIFT);
           const int64_t run_hi = hi < tile_hi_abs ? hi : tile_hi_abs;
           for (; p < run_hi; ++p) {
             const int64_t qi = qpos + (p - rpos);

@@ -19,10 +19,12 @@ Exactness strategy (VCF-identical to the host path):
 - Counter insertion-order tie-breaking (pileup_list[0][0]) uses a
   segment-min over event ranks, then argmax-count with argmin-rank
   tie-break;
-- chunks that need the high-coverage renormalization (depth > 1.5*max_depth,
-  float64 division on the host path), splice padding, head/tail mode, BED or
-  known-site restriction fall back to the host path wholesale (`needs_host`
-  in the outputs; FusedChunkCaller.call_chunk returns None).
+- BED restriction, known-site (-G) candidates, and head/tail mode run
+  natively in the jit (mask inputs + run-extent rules; see make_fused_fn's
+  feature flags); chunks that need the high-coverage renormalization
+  (depth > 1.5*max_depth, float64 division on the host path) or that could
+  trigger the splice-padding backfill fall back to the host path wholesale
+  (`needs_host` in the outputs; FusedChunkCaller.call_chunk returns None).
 
 Two wire formats feed the fused jit:
 
@@ -111,11 +113,20 @@ class StagedChunk:
     ref_code: np.ndarray  # [W] int8 (-1 non-ACGT)
     thr_snp: np.ndarray   # [D_TABLE] int32
     thr_indel: np.ndarray
+    cover_allow: np.ndarray  # [W] int8 bed+-33 mask (1-elt placeholder off)
+    cand_allow: np.ndarray   # [W] int8 bed-span / known-site mask
+    max_skip: np.ndarray     # [W] int32 splice statistics (placeholder off)
 
 
 def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
-                width_pad=None):
-    """PileupEvents -> StagedChunk (one host pass; no dense image built)."""
+                width_pad=None, scatter="pallas", cover_allow=None,
+                cand_allow=None):
+    """PileupEvents -> StagedChunk (one host pass; no dense image built).
+
+    With scatter="xla" the Pallas visit machinery is skipped (the XLA
+    segment ops are order-invariant): events are only power-of-two padded
+    and 1-element visit placeholders ride along, saving the stable sort and
+    five staged arrays on the path that never reads them."""
     width = events.end - events.start
     if width_pad is None:  # bucket widths so chunk tails reuse compilations
         width_pad = 16384
@@ -175,8 +186,19 @@ def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
     # 1-byte channel/group/weight on the wire (cast on device): 11 B/event.
     # Events are bucketed by 512-position tile (stable radix sort, O(E)) so
     # the Pallas scatter kernel sees contiguous per-tile ranges; the XLA
-    # segment ops are order-invariant, so both scatters share the layout.
-    b = fsc.bucket_events(ev_pos, ev_chan, ev_group, ev_rank, width_pad)
+    # segment ops are order-invariant and skip the visit machinery.
+    if scatter == "xla":
+        z = np.zeros(1, np.int32)
+        b = {
+            "ev_pos": _pad_pow2(ev_pos, np.int32(width_pad)),
+            "ev_chan": _pad_pow2(ev_chan.astype(np.int8), 0),
+            "ev_group": _pad_pow2(ev_group.astype(np.int8), 7),
+            "ev_rank": _pad_pow2(ev_rank, np.int32(fsc.MAX_RANK)),
+            "visit_tiles": z, "visit_blocks": z, "visit_firsts": z,
+            "visit_lasts": z, "visit_valid": z,
+        }
+    else:
+        b = fsc.bucket_events(ev_pos, ev_chan, ev_group, ev_rank, width_pad)
     ev_weight = (b["ev_pos"] < width_pad).astype(np.int8)
     return StagedChunk(
         width=width_pad, core_lo=core_lo - events.start,
@@ -194,6 +216,9 @@ def stage_chunk(events, ref_codes, cfg: PileupConfig, core_lo, core_hi,
                         (0, width_pad - width), constant_values=-1),
         thr_snp=_af_thresholds(cfg.effective_snp_af),
         thr_indel=_af_thresholds(cfg.effective_indel_min_af),
+        **dict(zip(("cover_allow", "cand_allow", "max_skip"),
+                   _mask_args(events, width_pad, cover_allow, cand_allow,
+                              cfg.enable_splice_padding))),
     )
 
 
@@ -210,10 +235,11 @@ class StagedPacked:
     core_lo: int
     core_hi: int
     start: int
-    tl_codes: np.ndarray      # [R_pad, 256] uint8
+    tl_codes: np.ndarray      # [R_pad, POS_TILE/2] uint8
     tl_tile: np.ndarray       # [R_pad] int32
     tl_rank: np.ndarray       # [R_pad] int32
     tl_strand: np.ndarray     # [R_pad] int8
+    tl_hp: np.ndarray         # [R_pad] int8 (phased mode)
     visit_tiles: np.ndarray
     visit_blocks: np.ndarray
     visit_firsts: np.ndarray
@@ -231,10 +257,36 @@ class StagedPacked:
     ref_code: np.ndarray
     thr_snp: np.ndarray
     thr_indel: np.ndarray
+    cover_allow: np.ndarray
+    cand_allow: np.ndarray
+    max_skip: np.ndarray
 
 
-def _sparse_side(packed, width_pad):
-    """Star/ins/del events as padded flat arrays for the XLA side channel."""
+def _mask_args(data, width_pad, cover_allow, cand_allow, with_max_skip):
+    """Padded (cover_allow, cand_allow, max_skip) staged arrays; 1-element
+    placeholders when the corresponding feature flag is off (the jit never
+    reads them then -- they are DCE'd at trace)."""
+    width = data.end - data.start
+    z = np.zeros(1, np.int8)
+    ca = z if cover_allow is None else np.pad(
+        np.asarray(cover_allow, np.int8), (0, width_pad - width))
+    aa = z if cand_allow is None else np.pad(
+        np.asarray(cand_allow, np.int8), (0, width_pad - width))
+    if with_max_skip:
+        ms = np.maximum.reduce([
+            data.read_start_count, data.read_end_count,
+            data.skip_fwd_count, data.skip_rev_count]).astype(np.int32)
+        ms = np.pad(ms, (0, width_pad - width))
+    else:
+        ms = np.zeros(1, np.int32)
+    return ca, aa, ms
+
+
+def _sparse_side(packed, width_pad, phased=False):
+    """Star/ins/del events as padded flat arrays for the XLA side channel.
+    In phased mode, HP-tagged ins/del events contribute extra count-only
+    events into the IP/DP (hp=1) and IM/DM (hp=2) channels
+    (src/create_tensor_pileup.py:181-217)."""
     start = packed.start
     star_chan = np.where(packed.star_strand == 0, config.CHANNEL_INDEX["*"],
                          config.CHANNEL_INDEX["#"]).astype(np.int8)
@@ -242,17 +294,30 @@ def _sparse_side(packed, width_pad):
                         config.CHANNEL_INDEX["i"]).astype(np.int8)
     del_chan = np.where(packed.del_strand == 0, config.CHANNEL_INDEX["D"],
                         config.CHANNEL_INDEX["d"]).astype(np.int8)
-    sp_pos = np.concatenate([
-        packed.star_pos - start, packed.ins_pos - start,
-        packed.del_pos - start]).astype(np.int32)
-    sp_chan = np.concatenate([star_chan, ins_chan, del_chan])
-    sp_group = np.concatenate([
-        np.full(len(packed.star_pos), GROUP_NONE, np.int8),
-        np.full(len(packed.ins_pos), 4, np.int8),
-        np.full(len(packed.del_pos), 5, np.int8)])
-    sp_rank = np.concatenate([
-        np.zeros(len(packed.star_pos), np.int64),
-        packed.ins_rank, packed.del_rank]).astype(np.int32)
+    pos_parts = [packed.star_pos - start, packed.ins_pos - start,
+                 packed.del_pos - start]
+    chan_parts = [star_chan, ins_chan, del_chan]
+    group_parts = [np.full(len(packed.star_pos), GROUP_NONE, np.int8),
+                   np.full(len(packed.ins_pos), 4, np.int8),
+                   np.full(len(packed.del_pos), 5, np.int8)]
+    rank_parts = [np.zeros(len(packed.star_pos), np.int64),
+                  packed.ins_rank, packed.del_rank]
+    if phased:
+        base = config.CHANNEL_SIZE  # 18: IP/DP at +4/+5, IM/DM at +10/+11
+        for hp_val, off in ((1, base), (2, base + 6)):
+            for kind_pos, kind_hp in ((packed.ins_pos, packed.ins_hp),
+                                      (packed.del_pos, packed.del_hp)):
+                sel = kind_hp == hp_val
+                n = int(sel.sum())
+                ch = off + (4 if kind_pos is packed.ins_pos else 5)
+                pos_parts.append((kind_pos[sel] - start).astype(np.int32))
+                chan_parts.append(np.full(n, ch, np.int8))
+                group_parts.append(np.full(n, 7, np.int8))  # count-only
+                rank_parts.append(np.zeros(n, np.int64))
+    sp_pos = np.concatenate(pos_parts).astype(np.int32)
+    sp_chan = np.concatenate(chan_parts)
+    sp_group = np.concatenate(group_parts)
+    sp_rank = np.concatenate(rank_parts).astype(np.int32)
     sp_pos = _pad_pow2(sp_pos, width_pad, min_size=512)
     sp_weight = (sp_pos < width_pad).astype(np.int8)
     return (sp_pos, _pad_pow2(sp_chan, 0, min_size=512),
@@ -261,7 +326,8 @@ def _sparse_side(packed, width_pad):
 
 
 def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
-                       core_hi, width_pad=None, scatter="xla"):
+                       core_hi, width_pad=None, scatter="xla",
+                       cover_allow=None, cand_allow=None):
     """PackedReads -> StagedPacked (one cheap host pass: visit bucketing over
     ~rows, not ~events, plus the sparse side arrays)."""
     width = packed.end - packed.start
@@ -274,16 +340,22 @@ def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
         # the XLA expansion needs no visit machinery: pad rows to a power of
         # two only (inert rows point at tile n_tiles = beyond every position)
         n_tiles = width_pad // tlt.POS_TILE
-        tl_tile = _pad_pow2(packed.tl_tile.astype(np.int32), n_tiles,
-                            min_size=64)
-        r_pad = len(tl_tile)
+        r_pad = tlt.quantize_rows(len(packed.tl_tile))
+
+        def _pad_rows(a, fill):
+            pad_shape = (r_pad - len(a),) + a.shape[1:]
+            return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+        tl_tile = _pad_rows(packed.tl_tile.astype(np.int32),
+                            np.int32(n_tiles))
         b = {
             "tl_codes": np.full((r_pad, tlt.HALF), 0xFF, np.uint8),
             "tl_tile": tl_tile,
-            "tl_rank": _pad_pow2(packed.tl_rank.astype(np.int32),
-                                 tlt.MAX_RANK, min_size=64),
-            "tl_strand": _pad_pow2(packed.tl_strand.astype(np.int8), 0,
-                                   min_size=64),
+            "tl_rank": _pad_rows(packed.tl_rank.astype(np.int32),
+                                 np.int32(tlt.MAX_RANK)),
+            "tl_strand": _pad_rows(packed.tl_strand.astype(np.int8),
+                                   np.int8(0)),
+            "tl_hp": _pad_rows(packed.tl_hp.astype(np.int8), np.int8(0)),
             "visit_tiles": np.zeros(1, np.int32),
             "visit_blocks": np.zeros(1, np.int32),
             "visit_firsts": np.zeros(1, np.int32),
@@ -293,9 +365,10 @@ def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
         b["tl_codes"][:len(packed.tl_codes)] = packed.tl_codes
     else:
         b = tlt.bucket_rows(packed.tl_tile, packed.tl_codes, packed.tl_rank,
-                            packed.tl_strand, width_pad)
+                            packed.tl_strand, width_pad,
+                            tl_hp=packed.tl_hp)
     sp_pos, sp_chan, sp_group, sp_rank, sp_weight = _sparse_side(
-        packed, width_pad)
+        packed, width_pad, phased=cfg.phased)
 
     from clair3_rna_tpu.pileup.builder import _max_per_allele
     ins_max = _max_per_allele(packed.ins_pos - packed.start,
@@ -319,7 +392,7 @@ def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
         width=width_pad, core_lo=core_lo - packed.start,
         core_hi=core_hi - packed.start, start=packed.start,
         tl_codes=b["tl_codes"], tl_tile=b["tl_tile"], tl_rank=b["tl_rank"],
-        tl_strand=b["tl_strand"],
+        tl_strand=b["tl_strand"], tl_hp=b["tl_hp"],
         visit_tiles=b["visit_tiles"], visit_blocks=b["visit_blocks"],
         visit_firsts=b["visit_firsts"], visit_lasts=b["visit_lasts"],
         visit_valid=b["visit_valid"],
@@ -333,11 +406,15 @@ def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
                         (0, width_pad - width), constant_values=-1),
         thr_snp=_af_thresholds(cfg.effective_snp_af),
         thr_indel=_af_thresholds(cfg.effective_indel_min_af),
+        **dict(zip(("cover_allow", "cand_allow", "max_skip"),
+                   _mask_args(packed, width_pad, cover_allow, cand_allow,
+                              cfg.enable_splice_padding))),
     )
 
 
 def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
-                  add_indel_length=False, scatter="xla", mode="events"):
+                  add_indel_length=False, scatter="xla", mode="events",
+                  known_only=False, with_masks=False):
     """Build the single-jit fused function over staged device arrays.
 
     Returns fused(*staged_args) -> (n_cand, cand_idx, probs+mask, gcounts,
@@ -351,6 +428,21 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
     ops/tilelet or ops/fused_scatter kernel), or "pallas_interpret" (the
     kernel's interpreter, for CPU tests). Identical integer results by
     construction.
+
+    Feature flags (static; each compiles its own graph):
+    - known_only: candidate mask = known-site positions & covered, the -G
+      genotyping mode (builder.candidate_mask_from known branch); positions
+      arrive as the staged cand_allow bitmask.
+    - with_masks: BED restriction -- cover_allow (bed +-33) clips coverage
+      runs, cand_allow (bed vs candidate deletion span) clips candidates
+      (run_clair3_rna:268-296 + src/create_tensor_pileup.py:551-554).
+    - cfg.enable_splice_padding: candidates whose 33-window splice-skip
+      statistics could trigger the reference's backfill
+      (src/create_tensor_pileup.py:573-593) are flagged needs_host, falling
+      back per chunk; non-triggering chunks stay fused and identical.
+    - cfg.enable_head_tail: run-tail candidates kept and window slots
+      outside the candidate's covered run zeroed
+      (src/create_tensor_pileup.py:614-637).
     """
     import jax
     import jax.numpy as jnp
@@ -359,6 +451,10 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
 
     model = PileupNet(add_indel_length=add_indel_length)
     ref_gt21 = jnp.asarray(_REF_GT21_BY_CODE, jnp.int32)
+    n_ch = cfg.channel_size  # 18, or 30 in phased mode
+    phased = bool(cfg.phased)
+    if phased and mode != "packed":
+        raise ValueError("phased fused mode requires mode='packed'")
     min_cov = int(cfg.min_coverage)
     fast = cfg.platform == "ont" and cfg.fast_mode
     af_zero = (cfg.effective_snp_af == 0.0
@@ -368,14 +464,18 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                                                  config.MAX_DEPTH)
     RANK_INF = np.int32(2**31 - 1)
     CI = config.CHANNEL_INDEX
+    splice = bool(cfg.enable_splice_padding)
+    head_tail = bool(cfg.enable_head_tail)
+    SKIP_THR = float(config.SKIP_PROPORTION_THRESHOLD)
 
     def _tail(counts, grank6, cover_pos, cover_delta, i1_pos, i1_vals,
-              ref_code, thr_snp, thr_indel, core):
+              ref_code, thr_snp, thr_indel, cover_allow, cand_allow,
+              max_skip, core):
         """Steps 3-8, shared by both wire formats: i1 patch, features,
         candidate mask, window gather, network, prescreen."""
         W = ref_code.shape[0]
         counts = counts.at[i1_pos, :].add(
-            jnp.zeros((i1_pos.shape[0], N_CH), counts.dtype)
+            jnp.zeros((i1_pos.shape[0], n_ch), counts.dtype)
             .at[:, CI["I1"]].set(i1_vals[:, 0])
             .at[:, CI["i1"]].set(i1_vals[:, 1])
             .at[:, CI["D1"]].set(i1_vals[:, 2])
@@ -393,6 +493,8 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         cover = jnp.cumsum(jax.ops.segment_sum(
             cover_delta, cover_pos, num_segments=W))
         covered = cover > 0
+        if with_masks:  # bed +-33 clips coverage (and so run extents)
+            covered &= cover_allow != 0
         star_total = counts[:, CI["*"]] + counts[:, CI["#"]]
         base_total = gcount[:, :4].sum(axis=1)
         depth = base_total + star_total
@@ -405,22 +507,30 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
             0, depth - (del_total + star_total) - ins_total - alt_count)
 
         # 4. candidate mask (candidate_mask_from mirror, integer-exact)
-        dcl = jnp.minimum(depth, thr_snp.shape[0] - 1)
-        non_ref = gcount[:, :4].at[jnp.arange(W), eff].set(0)
-        snp_ok = non_ref >= thr_snp[dcl][:, None]
-        if fast:
-            snp_ok &= non_ref >= 4
-        pass_snp = snp_ok.any(axis=1)
-        ti = thr_indel[dcl]
-        pass_indel = (ins_total >= ti) | (del_total >= ti)
-        max_gc = gcount.max(axis=1)
-        rank_if_top = jnp.where(gcount == max_gc[:, None], grank, RANK_INF)
-        top_group = jnp.argmin(rank_if_top, axis=1)
-        pass_top = (max_gc > 0) & (top_group != eff)
-        pass_af = pass_snp if snp_only else (pass_top | pass_snp | pass_indel)
-        if af_zero:
-            pass_af |= depth > 0
-        mask = covered & (ref_code >= 0) & pass_af & (depth >= min_cov)
+        if known_only:
+            # -G genotyping: candidates are exactly the known-site positions
+            mask = covered & (cand_allow != 0)
+        else:
+            dcl = jnp.minimum(depth, thr_snp.shape[0] - 1)
+            non_ref = gcount[:, :4].at[jnp.arange(W), eff].set(0)
+            snp_ok = non_ref >= thr_snp[dcl][:, None]
+            if fast:
+                snp_ok &= non_ref >= 4
+            pass_snp = snp_ok.any(axis=1)
+            ti = thr_indel[dcl]
+            pass_indel = (ins_total >= ti) | (del_total >= ti)
+            max_gc = gcount.max(axis=1)
+            rank_if_top = jnp.where(gcount == max_gc[:, None], grank,
+                                    RANK_INF)
+            top_group = jnp.argmin(rank_if_top, axis=1)
+            pass_top = (max_gc > 0) & (top_group != eff)
+            pass_af = pass_snp if snp_only \
+                else (pass_top | pass_snp | pass_indel)
+            if af_zero:
+                pass_af |= depth > 0
+            mask = covered & (ref_code >= 0) & pass_af & (depth >= min_cov)
+            if with_masks:  # bed vs candidate deletion span
+                mask &= cand_allow != 0
 
         # 5. full-window eligibility from covered-run extents (compute_runs)
         pos_iota = jnp.arange(W, dtype=jnp.int32)
@@ -430,14 +540,21 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         run_end = -jax.lax.cummax(jnp.where(
             covered & jnp.concatenate([~covered[1:], jnp.array([True])]),
             -pos_iota, -(W + 1))[::-1])[::-1]
-        kept = (run_start <= pos_iota - FLANK) & (run_end >= pos_iota + FLANK)
+        if head_tail:
+            # run-tail candidates stay; their windows zero outside the run
+            # (the reference's trailing flush, create_tensor_pileup:614-637)
+            last_covered = jnp.max(jnp.where(covered, pos_iota, -1))
+            kept = (run_end >= pos_iota + FLANK) | (run_end == last_covered)
+        else:
+            kept = ((run_start <= pos_iota - FLANK)
+                    & (run_end >= pos_iota + FLANK))
         mask &= kept & (pos_iota >= core[0]) & (pos_iota < core[1])
 
         n_cand = mask.sum()
         cand = jnp.nonzero(mask, size=max_candidates, fill_value=W)[0]
 
         # 6. ref-channel negation (negated_counts mirror)
-        ch_iota = jnp.arange(N_CH, dtype=jnp.int32)[None, :]
+        ch_iota = jnp.arange(n_ch, dtype=jnp.int32)[None, :]
         fwd_sum = counts[:, 0:4].sum(axis=1)
         rev_sum = counts[:, 9:13].sum(axis=1)
         neg_f = ch_iota == eff[:, None]
@@ -448,6 +565,10 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         # 7. 33-window gather (zero outside [0, W))
         win_pos = cand[:, None] + jnp.arange(-FLANK, FLANK + 1)[None, :]
         valid = (win_pos >= 0) & (win_pos < W) & (cand[:, None] < W)
+        if head_tail:
+            cc0 = jnp.clip(cand, 0, W - 1)
+            valid &= ((win_pos >= run_start[cc0][:, None])
+                      & (win_pos <= run_end[cc0][:, None]))
         wp = jnp.clip(win_pos, 0, W - 1)
         windows = jnp.where(valid[:, :, None], image[wp], 0)
 
@@ -466,6 +587,29 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         cc = jnp.clip(cand, 0, W - 1)
         depth_c = depth[cc]
         needs_host = (depth_c > max_depth * 1.5) & (cand < W)
+        if splice:
+            # conservative splice-padding trigger precondition (the exact
+            # superset build_tensors uses): candidates that COULD trigger
+            # the in-place backfill fall back to the host path per chunk;
+            # with SKIP_THR = 1/5 the comparison is integer-exact
+            skip_m = jnp.where(covered, max_skip, 0)
+            wmax = skip_m
+            for d in range(1, FLANK + 1):
+                zpad = jnp.zeros(d, skip_m.dtype)
+                wmax = jnp.maximum(
+                    wmax, jnp.concatenate([skip_m[d:], zpad]))
+                wmax = jnp.maximum(
+                    wmax, jnp.concatenate([zpad, skip_m[:-d]]))
+            wm_c = wmax[cc]
+            if abs(SKIP_THR - 0.2) < 1e-12:
+                over = wm_c * 5 > depth_c
+            else:  # >= makes float32 rounding err on the safe (host) side
+                over = (wm_c.astype(jnp.float32)
+                        >= SKIP_THR * depth_c.astype(jnp.float32))
+            maybe = over | ((depth_c == 0) & (wm_c > 0))
+            if head_tail:
+                maybe &= run_end[cc] >= cc + FLANK  # flush windows never pad
+            needs_host |= maybe & (cand < W)
         return (n_cand, cand, out, gcount[cc][:, :4], grank[cc][:, :4],
                 ref_count[cc], depth_c, needs_host)
 
@@ -474,7 +618,7 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         def fused(ev_pos, ev_chan, ev_group, ev_rank, ev_weight, visit_tiles,
                   visit_blocks, visit_firsts, visit_lasts, visit_valid,
                   cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
-                  thr_indel, core):
+                  thr_indel, cover_allow, cand_allow, max_skip, core):
             W = ref_code.shape[0]
             # 1+2. channel count image + first-occurrence group ranks (exact
             # integer reductions; pads sit at position W, inert either way)
@@ -482,10 +626,10 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                 ev_chan32 = ev_chan.astype(jnp.int32)
                 ev_group32 = ev_group.astype(jnp.int32)
                 pos_c = jnp.minimum(ev_pos, W - 1)
-                idx = pos_c * N_CH + ev_chan32
+                idx = pos_c * n_ch + ev_chan32
                 counts = jax.ops.segment_sum(
-                    ev_weight.astype(jnp.int32), idx, num_segments=W * N_CH,
-                    indices_are_sorted=False).reshape(W, N_CH)
+                    ev_weight.astype(jnp.int32), idx, num_segments=W * n_ch,
+                    indices_are_sorted=False).reshape(W, n_ch)
                 gidx = pos_c * 8 + jnp.where(ev_pos < W,
                                              jnp.minimum(ev_group32, 7), 7)
                 grank6 = jax.ops.segment_min(
@@ -495,44 +639,48 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                     ev_pos, ev_chan, ev_group, ev_rank.astype(jnp.float32),
                     visit_tiles, visit_blocks, visit_firsts, visit_lasts,
                     visit_valid, W, interpret=(scatter == "pallas_interpret"))
-                counts = counts_f[:N_CH, :].T.astype(jnp.int32)
+                counts = counts_f[:n_ch, :].T.astype(jnp.int32)
                 grank6 = ranks_f[:6, :].T.astype(jnp.int32)
             return _tail(counts, grank6, cover_pos, cover_delta, i1_pos,
-                         i1_vals, ref_code, thr_snp, thr_indel, core)
+                         i1_vals, ref_code, thr_snp, thr_indel, cover_allow,
+                         cand_allow, max_skip, core)
     else:
         @jax.jit
-        def fused(tl_codes, tl_tile, tl_rank, tl_strand, visit_tiles,
+        def fused(tl_codes, tl_tile, tl_rank, tl_strand, tl_hp, visit_tiles,
                   visit_blocks, visit_firsts, visit_lasts, visit_valid,
                   sp_pos, sp_chan, sp_group, sp_rank, sp_weight,
                   cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
-                  thr_indel, core):
+                  thr_indel, cover_allow, cand_allow, max_skip, core):
             W = ref_code.shape[0]
             # 1+2a. base channels + base group ranks from the tilelet rows
             # (device-side CIGAR expansion)
             if scatter == "xla":
                 counts_f, ranks_f = tlt.tilelet_expand_xla(
-                    tl_codes, tl_tile, tl_rank, tl_strand, W)
+                    tl_codes, tl_tile, tl_rank, tl_strand, W,
+                    tl_hp=tl_hp, phased=phased)
             else:
                 counts_f, ranks_f = tlt.tilelet_expand(
                     tl_codes, tl_tile, tl_rank.astype(jnp.float32),
                     tl_strand, visit_tiles, visit_blocks, visit_firsts,
                     visit_lasts, visit_valid, W,
-                    interpret=(scatter == "pallas_interpret"))
-            counts = counts_f[:N_CH, :].T.astype(jnp.int32)
+                    interpret=(scatter == "pallas_interpret"),
+                    tl_hp=tl_hp, phased=phased)
+            counts = counts_f[:n_ch, :].T.astype(jnp.int32)
             grank6 = ranks_f[:6, :].T.astype(jnp.int32)
             # 1+2b. sparse star/ins/del side channel (XLA segment ops; these
             # are ~1% of events in RNA data)
             pos_c = jnp.minimum(sp_pos, W - 1)
-            idx = pos_c * N_CH + sp_chan.astype(jnp.int32)
+            idx = pos_c * n_ch + sp_chan.astype(jnp.int32)
             counts = counts + jax.ops.segment_sum(
                 sp_weight.astype(jnp.int32), idx,
-                num_segments=W * N_CH).reshape(W, N_CH)
+                num_segments=W * n_ch).reshape(W, n_ch)
             gidx = pos_c * 8 + jnp.minimum(sp_group.astype(jnp.int32), 7)
             sp_grank = jax.ops.segment_min(
                 sp_rank, gidx, num_segments=W * 8).reshape(W, 8)[:, :6]
             grank6 = jnp.minimum(grank6, sp_grank)
             return _tail(counts, grank6, cover_pos, cover_delta, i1_pos,
-                         i1_vals, ref_code, thr_snp, thr_indel, core)
+                         i1_vals, ref_code, thr_snp, thr_indel, cover_allow,
+                         cand_allow, max_skip, core)
 
     return fused
 
@@ -543,18 +691,20 @@ def staged_args(st: StagedChunk):
             st.visit_tiles, st.visit_blocks, st.visit_firsts, st.visit_lasts,
             st.visit_valid,
             st.cover_pos, st.cover_delta, st.i1_pos, st.i1_vals, st.ref_code,
-            st.thr_snp, st.thr_indel,
+            st.thr_snp, st.thr_indel, st.cover_allow, st.cand_allow,
+            st.max_skip,
             np.asarray([st.core_lo, st.core_hi], np.int32)]
 
 
 def staged_packed_args(st: StagedPacked):
     """Positional argument list for the packed-mode fused fn."""
-    return [st.tl_codes, st.tl_tile, st.tl_rank, st.tl_strand,
+    return [st.tl_codes, st.tl_tile, st.tl_rank, st.tl_strand, st.tl_hp,
             st.visit_tiles, st.visit_blocks, st.visit_firsts, st.visit_lasts,
             st.visit_valid,
             st.sp_pos, st.sp_chan, st.sp_group, st.sp_rank, st.sp_weight,
             st.cover_pos, st.cover_delta, st.i1_pos, st.i1_vals, st.ref_code,
-            st.thr_snp, st.thr_indel,
+            st.thr_snp, st.thr_indel, st.cover_allow, st.cand_allow,
+            st.max_skip,
             np.asarray([st.core_lo, st.core_hi], np.int32)]
 
 
@@ -590,27 +740,29 @@ class FusedChunkCaller:
     """
 
     def __init__(self, params, cfg: PileupConfig, call_cfg,
-                 max_candidates=1024, scatter=None, mode=None):
+                 max_candidates=1024, scatter=None, mode=None,
+                 known_only=False, with_masks=False):
         # the padded candidate budget is the network's per-chunk batch: an
         # oversized budget burns device time on padding rows (the network,
         # not the count scatter, dominates the fused jit), and overflowing
         # chunks fall back to the host path -- 1024 covers ~10x the typical
         # 100 kb-chunk candidate density
-        if cfg.phased or cfg.enable_splice_padding or cfg.enable_head_tail:
-            raise ValueError("fused path supports the default unphased, "
-                             "non-splice-padding, non-head-tail mode only")
         self.cfg = cfg
         self.call_cfg = call_cfg
         self.max_candidates = max_candidates
         self.scatter = resolve_scatter() if scatter is None else scatter
         self.mode = resolve_mode() if mode is None else mode
+        self.known_only = known_only
+        self.with_masks = with_masks
         self.fused = make_fused_fn(params, cfg,
                                    max_candidates=max_candidates,
                                    add_indel_length=call_cfg.add_indel_length,
-                                   scatter=self.scatter, mode=self.mode)
+                                   scatter=self.scatter, mode=self.mode,
+                                   known_only=known_only,
+                                   with_masks=with_masks)
 
     def call_chunk(self, data, ref_codes, ctg_name, ref_seq, ref_lo,
-                   core_lo, core_hi):
+                   core_lo, core_hi, cover_allow=None, cand_allow=None):
         """One chunk: stage, run the fused jit, decode on host.
 
         `data` is a PackedReads (mode="packed") or PileupEvents
@@ -629,7 +781,9 @@ class FusedChunkCaller:
             if data.max_rank >= tlt.MAX_RANK:
                 return None  # rank exceeds exact-f32 range: host path handles
             staged = stage_chunk_packed(data, ref_codes, self.cfg, core_lo,
-                                        core_hi, scatter=self.scatter)
+                                        core_hi, scatter=self.scatter,
+                                        cover_allow=cover_allow,
+                                        cand_allow=cand_allow)
             args = staged_packed_args(staged)
             indels = data.sparse_indels()
         else:
@@ -641,7 +795,9 @@ class FusedChunkCaller:
             if self.scatter != "xla" and max_rank >= fsc.MAX_RANK:
                 return None
             staged = stage_chunk(events, ref_codes, self.cfg, core_lo,
-                                 core_hi)
+                                 core_hi, scatter=self.scatter,
+                                 cover_allow=cover_allow,
+                                 cand_allow=cand_allow)
             args = staged_args(staged)
             indels = SparseIndels.from_events(events)
         (n_cand, cand, out, gcounts, granks, ref_count, depth_c,

@@ -2,7 +2,7 @@
 
 This is the BASELINE.json north-star wire: instead of shipping one 11-byte
 event per aligned base to HBM (ops/fused_scatter's input), the host ships
-"tilelet" rows -- for each (read, 512-position tile) pair, the read's aligned
+"tilelet" rows -- for each (read, POS_TILE-position tile) pair, the read's aligned
 base codes nibble-packed at their tile-relative offsets (~0.5-0.9 B/base,
 produced at memcpy speed by native/pileup_native.cc:extract_packed_native or
 pileup/packed.py). This kernel expands them into the 18-channel count image
@@ -31,9 +31,11 @@ TPU via CLAIR3_RNA_TPU_FUSED_SCATTER=auto|pallas|xla.
 import numpy as np
 
 LANE = 128
-POS_TILE = 512            # positions per output tile
+POS_TILE = 256            # positions per output tile (smaller tiles raise
+#                           the row fill factor: fewer padded-slot bytes on
+#                           the host->HBM wire per aligned base)
 HALF = POS_TILE // 2      # nibble-packed bytes per row / even-odd lane count
-TILE_SHIFT = 9
+TILE_SHIFT = 8
 ROW_BLOCK = 32            # tilelet rows per visit
 C_PAD = 32                # 18 channels padded to a lane-friendly 32
 G_PAD = 8                 # 6 rank groups padded to 8
@@ -42,7 +44,20 @@ MAX_RANK = 2 ** 24
 EMPTY = 15                # nibble value for "no base here"
 
 
-def bucket_rows(tl_tile, tl_codes, tl_rank, tl_strand, width_pad):
+def quantize_rows(n):
+    """Row-count padding bucket: whole ROW_BLOCKs, quantized to 1/8 octave
+    (<=12.5% pad waste; at most 8 compiled shapes per power of two --
+    power-of-two padding wasted up to 2x HBM wire bytes)."""
+    n = max(n, ROW_BLOCK)
+    octave = 1
+    while octave * 2 <= n:
+        octave *= 2
+    step = max(octave // 8, ROW_BLOCK)
+    return -(-n // step) * step
+
+
+def bucket_rows(tl_tile, tl_codes, tl_rank, tl_strand, width_pad,
+                tl_hp=None):
     """Visit list + padded arrays for tile-sorted tilelet rows.
 
     Mirrors fused_scatter.bucket_events' aligned-block visit construction,
@@ -74,11 +89,7 @@ def bucket_rows(tl_tile, tl_codes, tl_rank, tl_strand, width_pad):
     visit_lasts[starts[1:] - 1] = 1
     visit_valid = np.ones(total, np.int32)
 
-    # pad rows to whole blocks, then a power of two of blocks
-    nb_pad = 1
-    while nb_pad < nb:
-        nb_pad *= 2
-    r_pad = nb_pad * ROW_BLOCK
+    r_pad = quantize_rows(r)
 
     def _pad(a, fill):
         pad_shape = (r_pad - r,) + a.shape[1:]
@@ -88,6 +99,8 @@ def bucket_rows(tl_tile, tl_codes, tl_rank, tl_strand, width_pad):
     tl_codes = _pad(np.asarray(tl_codes, np.uint8), np.uint8(0xFF))
     tl_rank = _pad(np.asarray(tl_rank, np.int32), np.int32(MAX_RANK))
     tl_strand = _pad(np.asarray(tl_strand, np.int8), np.int8(0))
+    tl_hp = _pad(np.asarray(tl_hp, np.int8), np.int8(0)) \
+        if tl_hp is not None else np.zeros(r_pad, np.int8)
 
     # pad visits to a power of two with inert (valid=0) repeats
     v_pad = 64
@@ -107,76 +120,110 @@ def bucket_rows(tl_tile, tl_codes, tl_rank, tl_strand, width_pad):
 
     return {
         "tl_codes": tl_codes, "tl_tile": tl_tile, "tl_rank": tl_rank,
-        "tl_strand": tl_strand,
+        "tl_strand": tl_strand, "tl_hp": tl_hp,
         "visit_tiles": visit_tiles, "visit_blocks": visit_blocks,
         "visit_firsts": visit_firsts, "visit_lasts": visit_lasts,
         "visit_valid": visit_valid,
     }
 
 
-def _kernel(tiles_ref, blocks_ref, firsts_ref, lasts_ref, valid_ref,
-            codes_ref, rtile_ref, rrank_ref, rstrand_ref,
-            ce_hbm, co_hbm, re_hbm, ro_hbm,
-            ce_acc, co_acc, re_acc, ro_acc, sems):
-    """One grid step per (tile, row-block) visit, in tile order.
+def _make_kernel(phased):
+    """Kernel factory: the phased variant also accumulates the 12
+    haplotype channels (AP..TP at 18..21 hp=1, AM..TM at 24..27 hp=2;
+    strands merged, src/create_tensor_pileup.py:181-217)."""
 
-    codes: [1, ROW_BLOCK, HALF] int32 packed bytes (two nibbles each);
-    rtile/rrank/rstrand: [1, ROW_BLOCK]. The e/o accumulators hold the even/
-    odd position columns of the tile and flush to HBM on the last visit.
-    """
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    def _kernel(tiles_ref, blocks_ref, firsts_ref, lasts_ref, valid_ref,
+                codes_ref, rtile_ref, rrank_ref, rstrand_ref, rhp_ref,
+                ce_hbm, co_hbm, re_hbm, ro_hbm,
+                ce_acc, co_acc, re_acc, ro_acc, sems):
+        """One grid step per (tile, row-block) visit, in tile order.
 
-    v = pl.program_id(0)
+        codes: [1, ROW_BLOCK, HALF] int32 packed bytes (two nibbles each);
+        rtile/rrank/rstrand/rhp: [1, 1, ROW_BLOCK]. The e/o accumulators
+        hold the even/odd position columns of the tile and flush to HBM on
+        the last visit.
+        """
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
-    @pl.when(firsts_ref[v] == 1)
-    def _():
-        ce_acc[:, :] = jnp.zeros_like(ce_acc)
-        co_acc[:, :] = jnp.zeros_like(co_acc)
-        re_acc[:, :] = jnp.full_like(re_acc, RANK_INF_F)
-        ro_acc[:, :] = jnp.full_like(ro_acc, RANK_INF_F)
+        v = pl.program_id(0)
 
-    @pl.when(valid_ref[v] == 1)
-    def _():
-        tile = tiles_ref[v]
-        packed = codes_ref[0]                                # [K, HALF]
-        rmask = rtile_ref[0, :].reshape(ROW_BLOCK, 1) == tile
-        strand = rstrand_ref[0, :].reshape(ROW_BLOCK, 1)
-        rank = rrank_ref[0, :].reshape(ROW_BLOCK, 1)
-        for nib, cacc, racc in (((packed >> 4) & 15, ce_acc, re_acc),
-                                (packed & 15, co_acc, ro_acc)):
-            base = jnp.where(rmask, nib, EMPTY)              # [K, HALF]
-            cadd = jnp.zeros((C_PAD, HALF), jnp.float32)
-            rmin = jnp.full((G_PAD, HALF), RANK_INF_F, jnp.float32)
-            for code in range(4):
-                m = base == code
-                fwd = jnp.sum((m & (strand == 0)).astype(jnp.float32), axis=0)
-                rev = jnp.sum((m & (strand == 1)).astype(jnp.float32), axis=0)
-                cadd = cadd.at[code, :].set(fwd)
-                cadd = cadd.at[code + 9, :].set(rev)
-                rmin = rmin.at[code, :].set(
-                    jnp.min(jnp.where(m, rank, RANK_INF_F), axis=0))
-            cacc[:, :] += cadd
-            racc[:, :] = jnp.minimum(racc[:, :], rmin)
+        @pl.when(firsts_ref[v] == 1)
+        def _():
+            ce_acc[:, :] = jnp.zeros_like(ce_acc)
+            co_acc[:, :] = jnp.zeros_like(co_acc)
+            re_acc[:, :] = jnp.full_like(re_acc, RANK_INF_F)
+            ro_acc[:, :] = jnp.full_like(ro_acc, RANK_INF_F)
 
-    @pl.when(lasts_ref[v] == 1)
-    def _():
-        base = tiles_ref[v] * HALF
-        dmas = [pltpu.make_async_copy(acc, hbm.at[:, pl.ds(base, HALF)],
-                                      sems.at[i])
-                for i, (acc, hbm) in enumerate(
-                    ((ce_acc, ce_hbm), (co_acc, co_hbm),
-                     (re_acc, re_hbm), (ro_acc, ro_hbm)))]
-        for d in dmas:
-            d.start()
-        for d in dmas:
-            d.wait()
+        @pl.when(valid_ref[v] == 1)
+        def _():
+            tile = tiles_ref[v]
+            packed = codes_ref[0]                            # [K, HALF]
+            rmask = rtile_ref[0, 0, :].reshape(ROW_BLOCK, 1) == tile
+            strand = rstrand_ref[0, 0, :].reshape(ROW_BLOCK, 1)
+            rank = rrank_ref[0, 0, :].reshape(ROW_BLOCK, 1)
+            hp = rhp_ref[0, 0, :].reshape(ROW_BLOCK, 1)
+            zero_row = jnp.zeros((1, HALF), jnp.float32)
+            inf_row = jnp.full((1, HALF), RANK_INF_F, jnp.float32)
+            for nib, cacc, racc in (((packed >> 4) & 15, ce_acc, re_acc),
+                                    (packed & 15, co_acc, ro_acc)):
+                base = jnp.where(rmask, nib, EMPTY)          # [K, HALF]
+                fwd_rows, rev_rows, min_rows = [], [], []
+                hp1_rows, hp2_rows = [], []
+                for code in range(4):
+                    m = base == code
+                    fwd_rows.append(jnp.sum(
+                        (m & (strand == 0)).astype(jnp.float32), axis=0,
+                        keepdims=True))
+                    rev_rows.append(jnp.sum(
+                        (m & (strand == 1)).astype(jnp.float32), axis=0,
+                        keepdims=True))
+                    min_rows.append(jnp.min(
+                        jnp.where(m, rank, RANK_INF_F), axis=0,
+                        keepdims=True))
+                    if phased:
+                        hp1_rows.append(jnp.sum(
+                            (m & (hp == 1)).astype(jnp.float32), axis=0,
+                            keepdims=True))
+                        hp2_rows.append(jnp.sum(
+                            (m & (hp == 2)).astype(jnp.float32), axis=0,
+                            keepdims=True))
+                # layout: A C G T at 0..3, a c g t at 9..12; phased
+                # AP..TP at 18..21, AM..TM at 24..27; rest inert
+                if phased:
+                    tail = (hp1_rows + [zero_row] * 2 + hp2_rows
+                            + [zero_row] * (C_PAD - 28))
+                else:
+                    tail = [zero_row] * (C_PAD - 18)
+                cacc[:, :] += jnp.concatenate(
+                    fwd_rows + [zero_row] * 5 + rev_rows + [zero_row] * 5
+                    + tail, axis=0)
+                racc[:, :] = jnp.minimum(
+                    racc[:, :],
+                    jnp.concatenate(min_rows + [inf_row] * (G_PAD - 4),
+                                    axis=0))
+
+        @pl.when(lasts_ref[v] == 1)
+        def _():
+            base = tiles_ref[v] * HALF
+            dmas = [pltpu.make_async_copy(acc, hbm.at[:, pl.ds(base, HALF)],
+                                          sems.at[i])
+                    for i, (acc, hbm) in enumerate(
+                        ((ce_acc, ce_hbm), (co_acc, co_hbm),
+                         (re_acc, re_hbm), (ro_acc, ro_hbm)))]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+    return _kernel
 
 
 def tilelet_expand(tl_codes, tl_tile, tl_rank_f32, tl_strand,
                    visit_tiles, visit_blocks, visit_firsts, visit_lasts,
-                   visit_valid, width_pad, interpret=False):
+                   visit_valid, width_pad, interpret=False, tl_hp=None,
+                   phased=False):
     """counts[C_PAD, W] f32 and grank[G_PAD, W] f32 from bucketed tilelets.
 
     Traceable (call inside jit); all shapes static given `bucket_rows`
@@ -197,20 +244,18 @@ def tilelet_expand(tl_codes, tl_tile, tl_rank_f32, tl_strand,
     w_half = n_tiles * HALF
 
     def _spec(shape):
-        ndim = len(shape)
-        if ndim == 3:
-            return pl.BlockSpec(
-                shape, lambda v, t, b, f, l, vv: (b[v], 0, 0),
-                memory_space=pltpu.VMEM)
+        # metadata rides as [nb, 1, ROW_BLOCK] (Mosaic requires the last two
+        # block dims be (8,128)-aligned or equal to the full array dims)
         return pl.BlockSpec(
-            shape, lambda v, t, b, f, l, vv: (b[v], 0),
+            shape, lambda v, t, b, f, l, vv: (b[v], 0, 0),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_visits,),
-        in_specs=[_spec((1, ROW_BLOCK, HALF)), _spec((1, ROW_BLOCK)),
-                  _spec((1, ROW_BLOCK)), _spec((1, ROW_BLOCK))],
+        in_specs=[_spec((1, ROW_BLOCK, HALF)), _spec((1, 1, ROW_BLOCK)),
+                  _spec((1, 1, ROW_BLOCK)), _spec((1, 1, ROW_BLOCK)),
+                  _spec((1, 1, ROW_BLOCK))],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
                         for _ in range(4)),
         scratch_shapes=[
@@ -225,8 +270,10 @@ def tilelet_expand(tl_codes, tl_tile, tl_rank_f32, tl_strand,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary",))
+    if tl_hp is None:
+        tl_hp = jnp.zeros(r_pad, jnp.int8)
     ce, co, re_, ro = pl.pallas_call(
-        _kernel,
+        _make_kernel(phased),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((cp, w_half), jnp.float32)
@@ -235,16 +282,18 @@ def tilelet_expand(tl_codes, tl_tile, tl_rank_f32, tl_strand,
         **kwargs,
     )(visit_tiles, visit_blocks, visit_firsts, visit_lasts, visit_valid,
       tl_codes.astype(jnp.int32).reshape(nb, ROW_BLOCK, HALF),
-      tl_tile.reshape(nb, ROW_BLOCK),
-      tl_rank_f32.reshape(nb, ROW_BLOCK),
-      tl_strand.astype(jnp.int32).reshape(nb, ROW_BLOCK))
+      tl_tile.reshape(nb, 1, ROW_BLOCK),
+      tl_rank_f32.reshape(nb, 1, ROW_BLOCK),
+      tl_strand.astype(jnp.int32).reshape(nb, 1, ROW_BLOCK),
+      tl_hp.astype(jnp.int32).reshape(nb, 1, ROW_BLOCK))
     # interleave even/odd position columns back into genome order
     counts = jnp.stack([ce, co], axis=-1).reshape(C_PAD, width_pad)
     granks = jnp.stack([re_, ro], axis=-1).reshape(G_PAD, width_pad)
     return counts, granks
 
 
-def tilelet_expand_xla(tl_codes, tl_tile, tl_rank, tl_strand, width_pad):
+def tilelet_expand_xla(tl_codes, tl_tile, tl_rank, tl_strand, width_pad,
+                       tl_hp=None, phased=False):
     """XLA fallback (scatter-based) with identical outputs; used on CPU and
     for differential testing. Takes the same nibble-packed wire."""
     import jax
@@ -264,6 +313,14 @@ def tilelet_expand_xla(tl_codes, tl_tile, tl_rank, tl_strand, width_pad):
     counts = jax.ops.segment_sum(
         valid.astype(jnp.int32).ravel(), idx,
         num_segments=width_pad * C_PAD).reshape(width_pad, C_PAD)
+    if phased:
+        hp = tl_hp.astype(jnp.int32)[:, None]
+        valid_hp = valid & (hp >= 1)
+        chan_hp = jnp.where(valid_hp, codes + 12 + 6 * hp, C_PAD - 1)
+        idx_hp = (pos_c * C_PAD + chan_hp).ravel()
+        counts = counts + jax.ops.segment_sum(
+            valid_hp.astype(jnp.int32).ravel(), idx_hp,
+            num_segments=width_pad * C_PAD).reshape(width_pad, C_PAD)
     counts = counts.at[:, C_PAD - 1].set(0).T.astype(jnp.float32)
 
     group = jnp.where(valid, codes, G_PAD - 1)
@@ -278,12 +335,14 @@ def tilelet_expand_xla(tl_codes, tl_tile, tl_rank, tl_strand, width_pad):
     return counts, granks
 
 
-def tilelet_oracle(tl_codes, tl_tile, tl_rank, tl_strand, width):
+def tilelet_oracle(tl_codes, tl_tile, tl_rank, tl_strand, width,
+                   tl_hp=None, phased=False):
     """Numpy reference: scalar loops over unpacked nibbles."""
     counts = np.zeros((C_PAD, width), np.int64)
     ranks = np.full((G_PAD, width), RANK_INF_F, np.float64)
     for r in range(len(tl_tile)):
         base = int(tl_tile[r]) * POS_TILE
+        hp = int(tl_hp[r]) if tl_hp is not None else 0
         for j in range(POS_TILE):
             b = int(tl_codes[r, j // 2])
             code = (b >> 4) if j % 2 == 0 else (b & 15)
@@ -291,4 +350,6 @@ def tilelet_oracle(tl_codes, tl_tile, tl_rank, tl_strand, width):
             if code < 4 and 0 <= p < width:
                 counts[code + 9 * int(tl_strand[r]), p] += 1
                 ranks[code, p] = min(ranks[code, p], float(tl_rank[r]))
+                if phased and hp in (1, 2):
+                    counts[12 + 6 * hp + code, p] += 1
     return counts, ranks

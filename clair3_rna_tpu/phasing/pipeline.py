@@ -43,29 +43,37 @@ def phase_and_haplotag(bam_path: str, ref_path: str, vcf_path: str,
     contigs = contigs or bam.references
 
     refs = [(name, bam.reference_lengths[name]) for name in bam.references]
-    writer = BamWriter(output_bam_path, refs, header_text=bam.header_text)
+    # 4 compression threads: the BGZF re-deflate dominated the serial rewrite
+    writer = BamWriter(output_bam_path, refs, header_text=bam.header_text,
+                       threads=4)
     n_tagged = 0
     n_total = 0
     contig_set = set(contigs)
     for ctg in bam.references:
-        # indexed region fetch: one pass over this contig's blocks only
-        # (a full-file rescan per contig would be O(contigs x records))
-        records = list(bam.fetch(ctg))
+        # two STREAMING passes per contig over the BAI-indexed block range:
+        # pass 1 keeps only (read name, het-site alleles) -- a few bytes per
+        # read -- and pass 2 rewrites records one at a time, so peak RSS is
+        # bounded by one decompressed block, not a contig's records
+        # (tests/test_phasing.py::test_phasing_rss_bounded)
         if ctg not in contig_set:
-            for rec in records:
+            for rec in bam.fetch(ctg):
                 writer.write(rec)
             continue
         sites = het_snvs_from_vcf(vcf, ctg)
         site_positions = np.asarray([s.pos for s in sites], dtype=np.int64)
         site_lookup = {s.pos: i for i, s in enumerate(sites)}
-        usable = [r for r in records
-                  if not (r.flag & exclude_flags) and r.mapq >= min_mq]
-        alleles_per_read = [read_alleles(r, site_positions, site_lookup, sites)
-                            for r in usable]
+        names, alleles_per_read = [], []
+        for r in bam.fetch(ctg):
+            if (r.flag & exclude_flags) or r.mapq < min_mq:
+                continue
+            names.append(r.name)
+            alleles_per_read.append(
+                read_alleles(r, site_positions, site_lookup, sites))
         phase, block = phase_sites_pairwise(alleles_per_read, len(sites))
         hp = assign_read_haplotypes(alleles_per_read, phase, block)
-        hp_by_name = {r.name: h for r, h in zip(usable, hp)}
-        for rec in records:
+        hp_by_name = {n: h for n, h in zip(names, hp)}
+        del names, alleles_per_read
+        for rec in bam.fetch(ctg):
             h = hp_by_name.get(rec.name, 0)
             if h:
                 rec.tags["HP"] = h

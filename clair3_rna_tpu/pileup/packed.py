@@ -2,7 +2,7 @@
 
 A PackedReads holds, for one region [start, end) of one contig:
 
-- tilelet rows: for each (read, 512-position tile) the read's aligned base
+- tilelet rows: for each (read, POS_TILE-position tile) the read's aligned base
   codes, nibble-packed at tile-relative offsets (ops/tilelet.py expands them
   on device). ~0.5-0.9 B/base vs the 11 B/event of the flat event arrays,
   which is what makes the fused TPU-resident path win end-to-end
@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from clair3_rna_tpu.ops.tilelet import EMPTY, POS_TILE
+from clair3_rna_tpu.ops.tilelet import EMPTY, POS_TILE, TILE_SHIFT
 
 HALF = POS_TILE // 2
 
@@ -31,7 +31,7 @@ class PackedReads:
     start: int
     end: int
     n_base: int               # aligned base codes in the tilelets
-    tl_codes: np.ndarray      # [R, 256] uint8 nibble-packed (even=hi nibble)
+    tl_codes: np.ndarray      # [R, POS_TILE/2] uint8 nibble-packed (even=hi)
     tl_tile: np.ndarray       # [R] int32, nondecreasing
     tl_rank: np.ndarray       # [R] int32 (2 * read_index)
     tl_strand: np.ndarray     # [R] int8
@@ -91,7 +91,7 @@ def packed_from_events(events) -> PackedReads:
     start, width = events.start, events.end - events.start
     n_tiles = max(1, -(-width // POS_TILE))
     off = events.base_pos.astype(np.int64) - start
-    tile = off >> 9
+    tile = off >> TILE_SHIFT
     key = (tile << _KEY_SHIFT) | events.base_rank.astype(np.int64)
     rows, inv = np.unique(key, return_inverse=True)
     r = len(rows)
@@ -136,7 +136,7 @@ def extract_region_packed(bam, contig, start, end, cfg) -> PackedReads:
 
 
 def unpack_codes(tl_codes: np.ndarray) -> np.ndarray:
-    """[R, 256] nibble-packed -> [R, 512] uint8 codes (tests/debug)."""
+    """[R, POS_TILE/2] nibble-packed -> [R, POS_TILE] codes (tests/debug)."""
     r = tl_codes.shape[0]
     out = np.empty((r, POS_TILE), np.uint8)
     out[:, 0::2] = tl_codes >> 4

@@ -98,6 +98,85 @@ def test_fused_chunk_caller_direct(tmp_path, monkeypatch):
     assert n == len(records)
 
 
+def _call_kw(bam, fasta, out, params, monkeypatch, fused, cfg=None, **kw):
+    if fused:
+        monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", "fused")
+    else:
+        monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
+    run_calling(bam, fasta, out, cfg=cfg or PileupConfig(batch_size=256),
+                call_cfg=CallConfig(show_ref=True), params=params,
+                contigs=["chr1"], chunk_size=20_000, compress=False,
+                progress=False, **kw)
+    return [l for l in open(out) if not l.startswith("#")]
+
+
+def test_fused_phased_vcf_identical(tmp_path, monkeypatch):
+    """Phased 30-channel mode (the second calling pass over an HP-tagged
+    BAM, src/create_tensor_pileup.py:181-217) through the fused packed path:
+    VCF-identical to the host phased path."""
+    rng = random.Random(53)
+    genome = simdata.random_genome(rng, [("chr1", 40_000)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=140,
+                                      het_genotypes=((0, 1), (1, 0)))
+    fasta = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "reads.bam")
+    from clair3_rna_tpu.io.fasta import write_fasta
+    write_fasta(fasta, genome)
+    simdata.simulate_bam(bam, genome, variants, rng, depth=28, with_hp=True)
+    cfg = PileupConfig(batch_size=256, phased=True)
+    params = init_params(0, phased=True)
+
+    def _call(out, fused):
+        if fused:
+            monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", "fused")
+        else:
+            monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND",
+                               raising=False)
+        run_calling(bam, fasta, out, cfg=cfg,
+                    call_cfg=CallConfig(show_ref=True), params=params,
+                    contigs=["chr1"], chunk_size=15_000, compress=False,
+                    progress=False)
+        return [l for l in open(out) if not l.startswith("#")]
+
+    host = _call(str(tmp_path / "host.vcf"), fused=False)
+    fused = _call(str(tmp_path / "fused.vcf"), fused=True)
+    assert len(host) > 30
+    assert fused == host
+
+
+@pytest.mark.parametrize("mode", ["bed", "known", "splice", "head_tail",
+                                  "splice_head_tail"])
+def test_fused_extended_modes_vcf_identical(tmp_path, monkeypatch, mode):
+    """The previously host-gated modes (BED restriction, -G known sites,
+    splice padding, head/tail) run through the fused path and stay
+    VCF-identical; splice chunks that could trigger the backfill fall back
+    per chunk (src/create_tensor_pileup.py:551-554,573-593,614-637)."""
+    fasta, bam = _dataset(tmp_path, seed=47)
+    params = init_params(0)
+    cfg = PileupConfig(batch_size=256)
+    kw = {}
+    if mode == "bed":
+        from clair3_rna_tpu.io.bed import BedRegions
+        kw["bed_regions"] = BedRegions(
+            {"chr1": [(5_000, 18_000), (25_000, 26_500), (40_000, 55_000)]})
+    elif mode == "known":
+        kw["known_vcf_positions"] = {
+            "chr1": list(range(6_000, 54_000, 700))}
+    elif mode == "splice":
+        cfg = PileupConfig(batch_size=256, enable_splice_padding=True)
+    elif mode == "head_tail":
+        cfg = PileupConfig(batch_size=256, enable_head_tail=True)
+    else:
+        cfg = PileupConfig(batch_size=256, enable_splice_padding=True,
+                           enable_head_tail=True)
+    host = _call_kw(bam, fasta, str(tmp_path / "host.vcf"), params,
+                    monkeypatch, fused=False, cfg=cfg, **kw)
+    fused = _call_kw(bam, fasta, str(tmp_path / "fused.vcf"), params,
+                     monkeypatch, fused=True, cfg=cfg, **kw)
+    assert len(host) > 10
+    assert fused == host
+
+
 def test_fused_with_manifest_resume(tmp_path, monkeypatch):
     """Fused-path rows persist in contig manifests and restore on --resume,
     matching a fresh host-path run."""

@@ -172,3 +172,71 @@ else:
     with pytest.raises(FileNotFoundError, match="longphase not found"):
         phase_and_haplotag(bam_path, ref, vcf, out_bam, phaser="longphase",
                            longphase=str(tmp_path / "nope"))
+
+
+def test_phasing_rss_bounded(tmp_path):
+    """The builtin phasing pass streams (two lazy fetches per contig): peak
+    RSS of a multi-contig run stays bounded by blocks + per-read allele
+    summaries, never a contig's decoded records. The pre-streaming
+    implementation (records = list(bam.fetch(ctg))) measured ~125 MB above
+    interpreter base on this dataset; the budget below would catch any
+    regression back to record-resident rewriting."""
+    import os
+    import subprocess
+    import sys
+
+    rng = random.Random(23)
+    genome = simdata.random_genome(rng, [("chr1", 500_000),
+                                         ("chr2", 350_000)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=1000,
+                                      indel_fraction=0.0,
+                                      het_genotypes=((0, 1), (1, 0)))
+    bam_path = str(tmp_path / "reads.bam")
+    simdata.simulate_bam(bam_path, genome, variants, rng, depth=20,
+                         with_hp=True)
+    vcf_path = str(tmp_path / "hets.vcf")
+    with open(vcf_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                "FILTER\tINFO\tFORMAT\tS\n")
+        for ctg, vs in variants.items():
+            for v in vs:
+                if sorted(v.genotype) == [0, 1] and len(v.ref) == 1 == len(v.alt):
+                    f.write(f"{ctg}\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t30\t"
+                            f"PASS\t.\tGT\t0/1\n")
+    out_bam = str(tmp_path / "tagged.bam")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = (
+        "import resource, sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from clair3_rna_tpu.phasing.pipeline import phase_and_haplotag\n"
+        f"phase_and_haplotag({bam_path!r}, {tmp_path.as_posix()!r},"
+        f" {vcf_path!r}, {out_bam!r})\n"
+        "print('RSS_KB', resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)\n"
+    )
+    # clean env: the ambient sitecustomize imports jax at startup (~165 MB),
+    # which would swamp the measurement
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = repo
+    # hop through /bin/sh: ru_maxrss is inherited across fork, so a child
+    # forked directly from this (pytest) process would inherit its ~200 MB
+    # high-water mark; forking from sh gives a clean floor
+    script = tmp_path / "rss_child.py"
+    script.write_text(child)
+    out = subprocess.run(
+        ["/bin/sh", "-c", f"{sys.executable} {script}"], env=env,
+        capture_output=True, text=True, check=True)
+    rss_kb = int(out.stdout.split("RSS_KB")[1].strip().split()[0])
+    assert rss_kb < 100 * 1024, f"phasing peak RSS {rss_kb // 1024} MB"
+
+    # output sanity: every read present, a good share HP-tagged
+    from clair3_rna_tpu.io.bam import BamReader
+    src = BamReader(bam_path)
+    tagged = BamReader(out_bam)
+    n_src = sum(1 for ctg in src.references for _ in src.fetch(ctg))
+    n_out = n_hp = 0
+    for ctg in tagged.references:
+        for rec in tagged.fetch(ctg):
+            n_out += 1
+            n_hp += int(rec.tags.get("HP", 0) in (1, 2))
+    assert n_out == n_src
+    assert n_hp > n_out * 0.5

@@ -97,8 +97,9 @@ def test_tilelet_rank_ties_and_empty():
     _assert_same("ties:xla", oracle, xla)
     _assert_same("ties:pallas", oracle, pallas)
     oc, orank = oracle
-    assert orank[0, 1024] == 12.0
-    assert oc[0, 1024] == 1 and oc[9, 1024] == 1  # one per strand
+    p0 = 2 * tlt.POS_TILE
+    assert orank[0, p0] == 12.0
+    assert oc[0, p0] == 1 and oc[9, p0] == 1  # one per strand
 
     empty = _expand_all(np.zeros((0, tlt.HALF), np.uint8),
                         np.zeros(0, np.int32), np.zeros(0, np.int32),
@@ -163,7 +164,8 @@ def test_packed_roundtrip_counts(tmp_path):
     # per-position ACGT totals match the event scatter
     width = 8_192
     got = np.zeros((4, width), np.int64)
-    pos = pk.tl_tile[:, None].astype(np.int64) * 512 + np.arange(512)
+    pos = (pk.tl_tile[:, None].astype(np.int64) * tlt.POS_TILE
+           + np.arange(tlt.POS_TILE))
     sel = codes < 4
     np.add.at(got, (codes[sel].astype(np.int64), pos[sel]), 1)
     want = np.zeros((4, width), np.int64)
