@@ -49,18 +49,31 @@ class BiLSTM(nn.Module):
 
     - input projections for every timestep and BOTH directions are computed
       as large MXU matmuls before the recurrence;
-    - the two directions run in ONE lax.scan with a direction-batched
-      dot_general ([2,B,U] x [2,U,4U]), halving the sequential-step count vs
-      scanning each direction separately (the dominant cost: the recurrence
-      is latency-bound, not FLOPs-bound, at this model size);
-    - the scan is partially unrolled so XLA can pipeline consecutive steps.
+    - the two directions run in ONE lax.scan over a (forward, time-reversed
+      backward) operand tuple, halving the sequential-step count vs scanning
+      each direction separately (the dominant cost: the recurrence is
+      latency-bound, not FLOPs-bound, at this model size); the two recurrent
+      matmuls inside the step are independent, so XLA runs them in parallel;
+    - the scan is partially unrolled so XLA can pipeline consecutive steps;
+    - matmul precision is explicit (see `resolve_precision`): the recurrence
+      amplifies the TPU's default reduced-precision f32 dots to ~1e-2
+      probability shifts over 33 steps, so the default here is HIGHEST,
+      keeping TPU probabilities within ~1e-4 of the f32 CPU/TF reference.
 
-    Numerics are bitwise identical to the per-direction formulation.
+    Deliberately NOT a direction-batched formulation ([2,B,...] arrays with a
+    batched dot_general): stacking the two directions and transposing the
+    [2,B,T,4U] projection to scan order miscompiles on TPU v5e (jax 0.9) at
+    B=2048 -- the backward half of the relayouted operand comes out wrong by
+    O(magnitude), turning the backward LSTM into noise. Keeping each
+    direction's operand a plain 3-D [T,B,4U] array avoids the faulty
+    relayout entirely (regression guard: tests/test_model_parity.py::
+    test_forward_parity_across_batch_shapes).
     """
 
     units: int
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 8
+    precision: jax.lax.Precision | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -70,31 +83,57 @@ class BiLSTM(nn.Module):
 
         dtype = self.compute_dtype
         units = self.units
+        prec = self.precision
         x = x.astype(dtype)
-        xp_f = x @ kf.astype(dtype) + bf.astype(dtype)            # [B, T, 4U]
-        xp_b = jnp.flip(x @ kb.astype(dtype) + bb.astype(dtype), axis=1)
-        xp = jnp.stack([xp_f, xp_b], axis=0)                       # [2, B, T, 4U]
-        xp = jnp.transpose(xp, (2, 0, 1, 3))                       # [T, 2, B, 4U]
-        rec = jnp.stack([rf, rb], axis=0).astype(dtype)            # [2, U, 4U]
 
-        def step(carry, xt):
-            h, c = carry                                           # [2, B, U]
-            z = xt + jax.lax.dot_general(
-                h, rec, (((2,), (1,)), ((0,), (0,))))
+        def _proj(k, b):
+            return jnp.matmul(x, k.astype(dtype), precision=prec) \
+                + b.astype(dtype)                                  # [B, T, 4U]
+
+        # scan order: forward direction at t, backward at T-1-t
+        xp_f = jnp.transpose(_proj(kf, bf), (1, 0, 2))             # [T, B, 4U]
+        xp_b = jnp.transpose(_proj(kb, bb), (1, 0, 2))[::-1]
+        rf = rf.astype(dtype)
+        rb = rb.astype(dtype)
+
+        def _gates(z, c):
             i = jax.nn.sigmoid(z[..., :units])
             f = jax.nn.sigmoid(z[..., units:2 * units])
             g = jnp.tanh(z[..., 2 * units:3 * units])
             o = jax.nn.sigmoid(z[..., 3 * units:])
             c = f * c + i * g
-            h = o * jnp.tanh(c)
-            return (h, c), h
+            return o * jnp.tanh(c), c
 
-        init = (jnp.zeros((2, batch, units), dtype),
-                jnp.zeros((2, batch, units), dtype))
-        _, hs = jax.lax.scan(step, init, xp, unroll=self.unroll)   # [T, 2, B, U]
-        fwd = jnp.swapaxes(hs[:, 0], 0, 1)                         # [B, T, U]
-        bwd = jnp.flip(jnp.swapaxes(hs[:, 1], 0, 1), axis=1)
+        def step(carry, xt):
+            hf, cf, hb, cb = carry                                 # [B, U] each
+            xtf, xtb = xt
+            hf, cf = _gates(
+                xtf + jnp.matmul(hf, rf, precision=prec), cf)
+            hb, cb = _gates(
+                xtb + jnp.matmul(hb, rb, precision=prec), cb)
+            return (hf, cf, hb, cb), (hf, hb)
+
+        z0 = jnp.zeros((batch, units), dtype)
+        init = (z0, z0, z0, z0)
+        _, (hs_f, hs_b) = jax.lax.scan(step, init, (xp_f, xp_b),
+                                       unroll=self.unroll)         # [T, B, U]
+        fwd = jnp.swapaxes(hs_f, 0, 1)                             # [B, T, U]
+        bwd = jnp.flip(jnp.swapaxes(hs_b, 0, 1), axis=1)
         return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def resolve_precision():
+    """Matmul precision for inference (CLAIR3_RNA_TPU_MATMUL_PRECISION=
+    highest|default). HIGHEST by default: on TPU the default f32 dot runs in
+    reduced precision and the 33-step LSTM recurrence amplifies that to
+    ~1e-2 probability shifts -- enough to flip rounded QUALs and make
+    results depend on batch shape. HIGHEST keeps TPU probabilities within
+    ~1e-4 of the f32 CPU/TF reference and batch-shape-invariant; the network
+    is a small fraction of end-to-end wall, so the extra MXU passes are
+    cheap. On CPU this is a no-op."""
+    import os
+    mode = os.environ.get("CLAIR3_RNA_TPU_MATMUL_PRECISION", "highest")
+    return None if mode == "default" else jax.lax.Precision.HIGHEST
 
 
 class PileupNet(nn.Module):
@@ -109,20 +148,26 @@ class PileupNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, dropout_rng=None):
+        prec = resolve_precision()
         x = x.astype(self.compute_dtype)
-        x = BiLSTM(self.lstm1_units, self.compute_dtype, name="lstm1")(x)
-        x = BiLSTM(self.lstm2_units, self.compute_dtype, name="lstm2")(x)
+        x = BiLSTM(self.lstm1_units, self.compute_dtype, name="lstm1",
+                   precision=prec)(x)
+        x = BiLSTM(self.lstm2_units, self.compute_dtype, name="lstm2",
+                   precision=prec)(x)
         x = nn.Dropout(0.2, deterministic=not train, name="l3_dropout")(x)
         x = x.reshape((x.shape[0], -1))
-        x = jax.nn.selu(nn.Dense(self.dense_units, name="l4")(x))
+        x = jax.nn.selu(nn.Dense(self.dense_units, name="l4",
+                                 precision=prec)(x))
         # NB: the reference's L4 dropout uses the LSTM2 dropout rate (0.5),
         # clair3_rna/model.py:144
         x = nn.Dropout(0.5, deterministic=not train, name="l4_dropout")(x)
 
         def head(name, width):
-            h = jax.nn.selu(nn.Dense(self.head_units, name=f"{name}_dense")(x))
+            h = jax.nn.selu(nn.Dense(self.head_units, name=f"{name}_dense",
+                                     precision=prec)(x))
             h = nn.Dropout(0.2, deterministic=not train, name=f"{name}_dropout")(h)
-            logits = jax.nn.selu(nn.Dense(width, name=f"{name}_logits")(h))
+            logits = jax.nn.selu(nn.Dense(width, name=f"{name}_logits",
+                                          precision=prec)(h))
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         outputs = [head("gt21", 21), head("genotype", 3)]

@@ -78,13 +78,29 @@ def extract_region_events(bam, contig, start, end, cfg: PileupConfig):
     return extract_events(records_iter, start, end, min_bq=cfg.min_bq)
 
 
+def _bai_exists(path: str) -> bool:
+    import os
+    stem, dot, _ = path.rpartition(".")
+    return os.path.exists(path + ".bai") or (dot == "."
+                                             and os.path.exists(stem + ".bai"))
+
+
 def open_bam(path: str, prefer_native: bool = True):
     """Open a BAM with the native decoder when available.
+
+    An unindexed BAM gets a .bai built on open (one streaming native pass,
+    like `samtools index`): without one, region fetches require the whole
+    decompressed file resident (a whole-genome dRNA BAM is GBs -- the
+    scale_run proof measured 23.6 GB RSS on a 1.3 GB BAM before this), while
+    indexed mode inflates only the BGZF blocks each region covers. If the
+    directory is unwritable or the BAM is not coordinate-sorted, falls back
+    to the in-memory full load with a warning.
 
     CLAIR3_RNA_TPU_NO_NATIVE=1 forces the pure-Python/array path (whose
     channel accumulation backend is then selectable via
     CLAIR3_RNA_TPU_PILEUP_BACKEND=host|device|pallas, see pileup/builder.py).
     """
+    import logging
     import os
     if os.environ.get("CLAIR3_RNA_TPU_NO_NATIVE"):
         prefer_native = False
@@ -92,6 +108,15 @@ def open_bam(path: str, prefer_native: bool = True):
         try:
             from clair3_rna_tpu.native import NativeBam, native_available
             if native_available():
+                if not _bai_exists(path):
+                    try:
+                        from clair3_rna_tpu.io.bai import build_index
+                        build_index(path)
+                    except Exception as exc:
+                        logging.getLogger(__name__).warning(
+                            "no .bai for %s and building one failed (%s): "
+                            "falling back to whole-file in-memory load",
+                            path, exc)
                 return NativeBam(path)
         except Exception:
             pass

@@ -68,6 +68,67 @@ def test_init_and_shapes():
     np.testing.assert_allclose(out[:, :21].sum(-1), 1.0, rtol=1e-5)
 
 
+def test_forward_parity_across_batch_shapes():
+    """Per-row outputs must not depend on batch shape or padding.
+
+    Regression guard for the direction-batched BiLSTM formulation this
+    module used through round 2: stacking both directions into a [2,B,T,4U]
+    operand and transposing it to scan order miscompiled on TPU v5e at
+    B=2048 (the backward projection came out wrong by O(magnitude)), so the
+    production 2048-candidate batches got a corrupted backward LSTM while
+    1024-batches were fine. The rewrite scans a tuple of plain 3-D per-
+    direction operands; this asserts row invariance across the production
+    bucket shapes, and a numpy float64 LSTM oracle pins the semantics."""
+    from clair3_rna_tpu.models.network import init_params, make_forward_fn
+
+    params = init_params(7)
+    _, forward = make_forward_fn()
+    rng = np.random.RandomState(4)
+    x = rng.randint(-40, 40, size=(96, 33, 18)).astype(np.int32)
+
+    def run(bucket):
+        pad = np.zeros((bucket - len(x), 33, 18), np.int32)
+        return np.asarray(forward(params, np.concatenate([x, pad])))[:96]
+
+    base = run(96)
+    for bucket in (128, 512, 1024, 2048):
+        np.testing.assert_allclose(run(bucket), base, rtol=5e-5, atol=5e-6)
+
+    # float64 oracle for the first BiLSTM layer on one row
+    from clair3_rna_tpu.models.network import BiLSTM
+    import jax
+
+    p1 = params["lstm1"]
+    kf, rf, bf = (np.asarray(p1["forward"][n]) for n in
+                  ("kernel", "recurrent_kernel", "bias"))
+    kb, rb, bb = (np.asarray(p1["backward"][n]) for n in
+                  ("kernel", "recurrent_kernel", "bias"))
+
+    def np_lstm(xr, k, r, b, units=128):
+        h = np.zeros(units, np.float64)
+        c = np.zeros(units, np.float64)
+        out = []
+        for t in range(xr.shape[0]):
+            z = xr[t].astype(np.float64) @ k + h @ r + b
+            i = 1 / (1 + np.exp(-z[:units]))
+            f = 1 / (1 + np.exp(-z[units:2 * units]))
+            g = np.tanh(z[2 * units:3 * units])
+            o = 1 / (1 + np.exp(-z[3 * units:]))
+            c = f * c + i * g
+            h = o * np.tanh(c)
+            out.append(h.copy())
+        return np.stack(out)
+
+    x0 = x[0].astype(np.float32)
+    oracle = np.concatenate(
+        [np_lstm(x0, kf, rf, bf), np_lstm(x0[::-1], kb, rb, bb)[::-1]],
+        axis=-1)
+    lstm1 = BiLSTM(128, name="lstm1")
+    ours = np.asarray(jax.jit(
+        lambda p, xx: lstm1.apply({"params": p}, xx))(p1, x0[None]))[0]
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
 @requires_reference
 @pytest.mark.parametrize("add_indel_length", [False, True])
 def test_params_from_tf_checkpoint_on_disk(reference_path, tmp_path,

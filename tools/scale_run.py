@@ -72,6 +72,8 @@ def make_data():
     simdata.simulate_bam(os.path.join(tmp, "reads.bam"), genome, variants,
                          rng, depth=DEPTH, read_len=READ_LEN,
                          error_rate=ERROR_RATE)
+    from clair3_rna_tpu.io.bai import build_index
+    build_index(os.path.join(tmp, "reads.bam"))
     shutil.rmtree(DATA_DIR, ignore_errors=True)
     os.rename(tmp, DATA_DIR)
     print(f"[scale_run] dataset generated in {time.time() - t0:.0f}s "
@@ -96,6 +98,8 @@ _, forward = make_wire_forward_fn()
 cfg = PileupConfig(batch_size=2048)
 call_cfg = CallConfig(show_ref=False)
 bam = open_bam(bam_path)
+assert getattr(bam, "has_index", False), \
+    "scale proof requires indexed streaming mode (.bai missing?)"
 t0 = time.time()
 if mode == "full":
     _, stats = run_calling(
