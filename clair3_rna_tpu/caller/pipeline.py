@@ -464,11 +464,18 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
 
     profile_cm.__enter__()
     try:
-        futures = [prefetcher.submit(build_one, task) for task in tasks[:2]]
+        # a deque of at most 2 pending futures: a completed Future pins its
+        # result (records + the chunk's dense TileFeatures, ~20 MB), so
+        # holding one per task leaks the whole genome's worth of chunk
+        # working sets (measured: 21 GB RSS over 1001 chunks) -- each future
+        # must be dropped as soon as its result is consumed
+        pending_builds = deque(
+            prefetcher.submit(build_one, task) for task in tasks[:2])
         for i, task in enumerate(tasks):
             if i + 2 < len(tasks):
-                futures.append(prefetcher.submit(build_one, tasks[i + 2]))
-            built, dt = futures[i].result()
+                pending_builds.append(
+                    prefetcher.submit(build_one, tasks[i + 2]))
+            built, dt = pending_builds.popleft().result()
             stats.build_s += dt
             if built[0] == "rows":  # fused path: decoded rows directly
                 _, fused_rows, n_fused = built

@@ -219,3 +219,22 @@ def test_cli_index_subcommand(tmp_path):
     reader = BamReader(bam_path)
     assert reader.has_index
     assert sum(1 for _ in reader.fetch("chr1", 0, 20_000)) > 0
+
+
+def test_open_bam_auto_indexes(tmp_path):
+    """open_bam on an unindexed BAM builds the .bai on open (the bounded-
+    memory production path; without it a whole-genome BAM is decompressed
+    into RAM wholesale -- see tools/scale_run.py's RSS assertion)."""
+    import os
+    from clair3_rna_tpu.native import get_library
+    from clair3_rna_tpu.pileup.chunk import open_bam
+
+    if get_library() is None:
+        pytest.skip("native library unavailable")
+    _, bam_path = _make_bam(tmp_path, [("chr1", 30_000)])
+    assert not os.path.exists(bam_path + ".bai")
+    bam = open_bam(bam_path)
+    assert os.path.exists(bam_path + ".bai")
+    assert bam.has_index
+    # and the index is used on a second open too
+    assert open_bam(bam_path).has_index
