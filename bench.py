@@ -265,7 +265,9 @@ def _bench_fused_device(bam_path, fasta_path, params, cfg):
             np.asarray(caller.fused(*args)[0])
         t0 = time.time()
         outs = [caller.fused(*args) for args in staged_dev]
-        n_cands = int(sum(int(np.asarray(o[0])) for o in outs))
+        # one header-row fetch per chunk proves execution finished (the
+        # fused output is a single packed array; row 0 col 0 is n_cand)
+        n_cands = int(sum(int(np.asarray(o[0])[0]) for o in outs))
         dt = time.time() - t0
         return {"n_candidates": n_cands, "n_events": int(n_events),
                 "mode": mode, "scatter": scatter_mode,

@@ -417,9 +417,12 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                   known_only=False, with_masks=False):
     """Build the single-jit fused function over staged device arrays.
 
-    Returns fused(*staged_args) -> (n_cand, cand_idx, probs+mask, gcounts,
-    granks, ref_count, depth, needs_host) with static [max_candidates]
-    shapes.
+    Returns fused(*staged_args) -> one packed f32 array
+    [max_candidates + 1, P + 12] (header row carries n_cand; body rows are
+    cand | probs+mask | gcount4 | grank4 | ref_count | depth | needs_host,
+    P = probs-plus-prescreen width) so the host pays exactly ONE device
+    fetch per chunk; see the packing comment in `_tail` for the f32
+    exactness argument.
 
     `mode` picks the wire format: "packed" (tilelet rows + sparse side
     channel, from stage_chunk_packed) or "events" (flat event arrays, from
@@ -610,8 +613,30 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
             if head_tail:
                 maybe &= run_end[cc] >= cc + FLANK  # flush windows never pad
             needs_host |= maybe & (cand < W)
-        return (n_cand, cand, out, gcount[cc][:, :4], grank[cc][:, :4],
-                ref_count[cc], depth_c, needs_host)
+
+        # Pack every output into ONE f32 array [max_candidates+1, P+12]
+        # (header row: n_cand; body rows: cand | probs+mask | gcount4 |
+        # grank4 | ref_count | depth | needs_host). A tuple return costs one
+        # ~28 ms link round trip PER ARRAY to materialize on a tunnel-
+        # attached chip -- 8 fetches x 12 chunks was ~2.7 s of the fused
+        # end-to-end wall. All packed values are exact in f32: positions
+        # < 2^17, counts/depth < 2^24, and ranks are clamped to the 2^24
+        # MAX_RANK sentinel (real ranks are < 2^24 by the staging guard;
+        # clamped sentinels only ever fill absent groups, whose rank is
+        # never read downstream -- _alt_data_fast keys on count > 0).
+        grank_c = jnp.minimum(grank[cc][:, :4], tlt.MAX_RANK)
+        body = jnp.concatenate([
+            cand[:, None].astype(jnp.float32),
+            out,
+            gcount[cc][:, :4].astype(jnp.float32),
+            grank_c.astype(jnp.float32),
+            ref_count[cc][:, None].astype(jnp.float32),
+            depth_c[:, None].astype(jnp.float32),
+            needs_host[:, None].astype(jnp.float32),
+        ], axis=-1)
+        header = jnp.zeros((1, body.shape[1]), jnp.float32) \
+            .at[0, 0].set(n_cand.astype(jnp.float32))
+        return jnp.concatenate([header, body], axis=0)
 
     if mode == "events":
         @jax.jit
@@ -708,6 +733,52 @@ def staged_packed_args(st: StagedPacked):
             np.asarray([st.core_lo, st.core_hi], np.int32)]
 
 
+def pack_wire(args):
+    """Concatenate staged arrays into ONE uint8 blob + a static layout.
+
+    Shipping each staged array separately costs a per-transfer link round
+    trip (26 arrays x ~7-28 ms on a tunnel-attached chip was most of the
+    fused end-to-end wall). One blob per chunk pays one transfer; the jit
+    unpacks it with static slices + bitcasts (`unpack_wire`). Layouts are
+    hashable and power-of-two bucketed like the shapes, so each layout
+    compiles once."""
+    segs = []
+    layout = []
+    off = 0
+    for a in args:
+        a = np.ascontiguousarray(a)
+        pad = (-off) % 4
+        if pad:
+            segs.append(np.zeros(pad, np.uint8))
+            off += pad
+        layout.append((off, a.dtype.str, a.shape))
+        flat = a.view(np.uint8).reshape(-1)
+        segs.append(flat)
+        off += flat.nbytes
+    return np.concatenate(segs), tuple(layout)
+
+
+def unpack_wire(blob, layout):
+    """Inverse of pack_wire, traceable inside jit (static offsets/shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = []
+    for off, dtype_str, shape in layout:
+        dt = np.dtype(dtype_str)
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        seg = blob[off:off + n * dt.itemsize]
+        jdt = jnp.dtype(dt)
+        if dt.itemsize == 1:
+            arr = seg if jdt == jnp.uint8 \
+                else jax.lax.bitcast_convert_type(seg, jdt)
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                seg.reshape(n, dt.itemsize), jdt)
+        out.append(arr.reshape(shape))
+    return out
+
+
 def resolve_mode():
     """Wire format from CLAIR3_RNA_TPU_FUSED_MODE (packed|events); packed --
     the wire that wins end-to-end -- is the default."""
@@ -760,6 +831,16 @@ class FusedChunkCaller:
                                    scatter=self.scatter, mode=self.mode,
                                    known_only=known_only,
                                    with_masks=with_masks)
+        self._blob_fns = {}  # layout -> jitted blob entry (see pack_wire)
+
+    def _blob_fn(self, layout):
+        fn = self._blob_fns.get(layout)
+        if fn is None:
+            import jax
+            fused = self.fused
+            fn = jax.jit(lambda blob, _l=layout: fused(*unpack_wire(blob, _l)))
+            self._blob_fns[layout] = fn
+        return fn
 
     def call_chunk(self, data, ref_codes, ctg_name, ref_seq, ref_lo,
                    core_lo, core_hi, cover_allow=None, cand_allow=None):
@@ -800,9 +881,19 @@ class FusedChunkCaller:
                                  cand_allow=cand_allow)
             args = staged_args(staged)
             indels = SparseIndels.from_events(events)
-        (n_cand, cand, out, gcounts, granks, ref_count, depth_c,
-         needs_host) = [np.asarray(a) for a in self.fused(*args)]
-        n = int(n_cand)
+        blob, layout = pack_wire(args)
+        # ONE device transfer (blob) and ONE device fetch (packed output)
+        packed_out = np.asarray(self._blob_fn(layout)(blob))
+        n = int(packed_out[0, 0])
+        body = packed_out[1:]
+        P = body.shape[1] - 12
+        cand = body[:, 0].astype(np.int64)
+        out = body[:, 1:1 + P]
+        gcounts = body[:, 1 + P:5 + P].astype(np.int64)
+        granks = body[:, 5 + P:9 + P].astype(np.int64)
+        ref_count = body[:, 9 + P].astype(np.int64)
+        depth_c = body[:, 10 + P].astype(np.int64)
+        needs_host = body[:, 11 + P] != 0.0
         if n > self.max_candidates or needs_host.any():
             return None  # host path handles overflow / renorm chunks
 

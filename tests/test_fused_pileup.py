@@ -205,3 +205,29 @@ def test_fused_with_manifest_resume(tmp_path, monkeypatch):
     a = [l for l in open(out1) if not l.startswith("#")]
     b = [l for l in open(out2) if not l.startswith("#")]
     assert a == b and len(a) > 20
+
+
+def test_pack_unpack_wire_roundtrip():
+    """The one-blob-per-chunk wire (pack_wire/unpack_wire) must be exact for
+    every dtype the staged arrays use, including 4-byte alignment padding
+    between segments."""
+    import jax
+
+    from clair3_rna_tpu.ops.fused_pileup import pack_wire, unpack_wire
+
+    rng = np.random.RandomState(3)
+    args = [
+        rng.randint(0, 256, (7, 128)).astype(np.uint8),      # tl_codes-like
+        rng.randint(-2**31, 2**31 - 1, 33).astype(np.int32),
+        rng.randint(-128, 128, 11).astype(np.int8),          # odd length ->
+        rng.randint(0, 2**24, (5, 4)).astype(np.int32),      # padded before
+        np.asarray([3, 9], np.int32),                        # this segment
+    ]
+    blob, layout = pack_wire(args)
+    assert blob.dtype == np.uint8
+    out = jax.jit(lambda b: tuple(unpack_wire(b, layout)))(blob)
+    for want, got in zip(args, out):
+        assert want.dtype.name == np.asarray(got).dtype.name
+        np.testing.assert_array_equal(want, np.asarray(got))
+    # layouts are hashable (used as the jit-wrapper cache key)
+    assert hash(layout) == hash(pack_wire(args)[1])

@@ -247,8 +247,9 @@ def patch_scaling_md(result):
         "the run)",
         f"- full indexed streaming run: {full['candidates']} candidate "
         f"sites in {full['wall_s']}s = **{full['sites_per_s']} sites/s** "
-        f"sustained over {bal[8]['chunks']} chunks (host path, this box's "
-        "CPU + one chip)",
+        f"sustained over {bal[8]['chunks']} chunks (host path; the measured "
+        "child runs CPU-only JAX -- this proof targets streaming, memory "
+        "and balance, not device throughput)",
         f"- peak RSS **{full['rss_mb']} MB** (asserted < "
         f"{result['rss_budget_mb']} MB budget; the decompressed input "
         "stream alone is "
@@ -272,6 +273,9 @@ def patch_scaling_md(result):
         head, rest = text.split(marker, 1)
         nxt = rest.find("\n## ")
         text = head + block + (rest[nxt:] if nxt >= 0 else "")
+    elif "## 5." in text:  # keep numeric section order
+        i = text.find("## 5.")
+        text = text[:i] + block + "\n\n" + text[i:]
     else:
         text = text.rstrip("\n") + "\n\n" + block + "\n"
     with open(path, "w") as f:
