@@ -1631,44 +1631,52 @@ struct PackedOut {
   int32_t* cover_count;
 };
 
-PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
-                                 int64_t end, int32_t min_mq, int32_t min_bq,
-                                 int32_t exclude_flags) {
+struct PackedRowMeta { int32_t rank; int8_t strand; int8_t hp; };
+
+// Per-thread outputs of packed_worker for one TILE-ALIGNED position slice
+// [sub_lo, sub_hi). Tile rows live in shard-local arenas (each tile is
+// wholly owned by exactly one slice); sparse events carry their rank so the
+// merge can restore the single-thread read-major order with a stable sort
+// (stars get a rank column here for ordering only -- it is not exported).
+struct PackedShard {
+  std::vector<std::vector<uint8_t>> tile_codes;   // [tile_hi - tile_lo]
+  std::vector<std::vector<PackedRowMeta>> tile_meta;
+  std::vector<int64_t> star_rank;
+  std::vector<int32_t> star_pos;
+  std::vector<int8_t> star_strand, star_hp;
+  std::vector<int64_t> ins_rank;
+  std::vector<int32_t> ins_pos, ins_allele;       // shard-local allele ids
+  std::vector<int8_t> ins_strand, ins_hp;
+  std::vector<std::string> allele_seqs;
+  std::unordered_map<std::string, int32_t> allele_ids;
+  std::vector<int64_t> del_rank;
+  std::vector<int32_t> del_pos, del_len;
+  std::vector<int8_t> del_strand, del_hp;
+  std::vector<int32_t> cover_diff;                // local [sub_hi-sub_lo+1]
+  int64_t n_base = 0;
+};
+
+// Walk every record overlapping [sub_lo, sub_hi) with clipped inner loops.
+// Dense arrays (read_start/end, skips) are shared: each thread owns a
+// disjoint position slice, so writes never race; boundary-spanning reads
+// are re-walked by both owners (same pattern as tile_worker).
+static void packed_worker(const std::vector<RecordView>& records,
+                          int64_t start, int64_t sub_lo, int64_t sub_hi,
+                          int64_t tile_lo, int32_t min_bq,
+                          int32_t* read_start_count, int32_t* read_end_count,
+                          int32_t* skip_fwd, int32_t* skip_rev,
+                          PackedShard* shard) {
   constexpr int TILE_SHIFT = 8;       // keep in sync with ops/tilelet.py
   constexpr int TILE = 1 << TILE_SHIFT;
   constexpr int TILE_BYTES = TILE / 2;
-  auto* bam = static_cast<BamFile*>(handle);
-  const int64_t width = end - start;
-  const int64_t n_tiles = width > 0 ? (width + TILE - 1) / TILE : 0;
+  shard->cover_diff.assign(sub_hi - sub_lo + 1, 0);
+  auto& tile_codes = shard->tile_codes;
+  auto& tile_meta = shard->tile_meta;
 
-  // per-tile row arenas (codes appended 256 bytes at a time)
-  struct RowMeta { int32_t rank; int8_t strand; int8_t hp; };
-  std::vector<std::vector<uint8_t>> tile_codes(n_tiles);
-  std::vector<std::vector<RowMeta>> tile_meta(n_tiles);
-
-  std::vector<int32_t> star_pos;
-  std::vector<int8_t> star_strand, star_hp;
-  std::vector<int32_t> ins_pos, ins_allele;
-  std::vector<int8_t> ins_strand, ins_hp;
-  std::vector<int64_t> ins_rank;
-  std::vector<int32_t> del_pos, del_len;
-  std::vector<int8_t> del_strand, del_hp;
-  std::vector<int64_t> del_rank;
-  std::vector<int32_t> read_start_count(width, 0), read_end_count(width, 0),
-      skip_fwd(width, 0), skip_rev(width, 0), cover_diff(width + 1, 0);
-  std::unordered_map<std::string, int32_t> allele_ids;
-  std::string ins_blob;
-  int64_t n_alleles = 0;
-  int64_t n_base = 0;
-
-  RegionRecords region;
-  if (!load_region_records(bam, ref_id, start, end, min_mq, exclude_flags,
-                           &region))
-    return nullptr;
-
-  for (size_t read_index = 0; read_index < region.records.size();
-       ++read_index) {
-    const RecordView& rv = region.records[read_index];
+  for (size_t read_index = 0; read_index < records.size(); ++read_index) {
+    const RecordView& rv = records[read_index];
+    if (rv.pos >= sub_hi) break;     // records are position-sorted
+    if (rv.end <= sub_lo) continue;
     const int32_t rank = static_cast<int32_t>(2 * read_index);
     const int8_t strand = (rv.flag & 0x10) ? 1 : 0;
 
@@ -1684,14 +1692,15 @@ PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
     const uint8_t* tags = qual + l_seq;
     const int8_t hp = static_cast<int8_t>(parse_hp_tag(tags, body + rv.body_len));
 
-    if (rv.pos >= start && rv.pos < end) read_start_count[rv.pos - start] += 1;
-    if (rv.end - 1 >= start && rv.end - 1 < end)
+    if (rv.pos >= sub_lo && rv.pos < sub_hi)
+      read_start_count[rv.pos - start] += 1;
+    if (rv.end - 1 >= sub_lo && rv.end - 1 < sub_hi)
       read_end_count[rv.end - 1 - start] += 1;
-    int64_t clo = rv.pos > start ? rv.pos : start;
-    int64_t chi = rv.end < end ? rv.end : end;
+    int64_t clo = rv.pos > sub_lo ? rv.pos : sub_lo;
+    int64_t chi = rv.end < sub_hi ? rv.end : sub_hi;
     if (clo < chi) {
-      cover_diff[clo - start] += 1;
-      cover_diff[chi - start] -= 1;
+      shard->cover_diff[clo - sub_lo] += 1;
+      shard->cover_diff[chi - sub_lo] -= 1;
     }
 
     // a read visits tiles in nondecreasing order; one row per (read, tile)
@@ -1705,17 +1714,18 @@ PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
       int op = v & 0xF;
       int64_t len = v >> 4;
       if (op == CIGAR_M || op == CIGAR_EQ || op == CIGAR_X) {
-        int64_t lo = rpos > start ? rpos : start;
-        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        int64_t lo = rpos > sub_lo ? rpos : sub_lo;
+        int64_t hi = (rpos + len) < sub_hi ? (rpos + len) : sub_hi;
         int64_t p = lo;
         while (p < hi) {
           const int64_t off = p - start;
           const int64_t t = off >> TILE_SHIFT;
+          const int64_t tl = t - tile_lo;   // shard-local arena index
           if (t != cur_tile) {
             cur_tile = t;
-            tile_codes[t].resize(tile_codes[t].size() + TILE_BYTES, 0xFF);
-            tile_meta[t].push_back({rank, strand, hp});
-            cur_row = tile_codes[t].data() + tile_codes[t].size() - TILE_BYTES;
+            tile_codes[tl].resize(tile_codes[tl].size() + TILE_BYTES, 0xFF);
+            tile_meta[tl].push_back({rank, strand, hp});
+            cur_row = tile_codes[tl].data() + tile_codes[tl].size() - TILE_BYTES;
           }
           const int64_t tile_hi_abs = start + ((t + 1) << TILE_SHIFT);
           const int64_t run_hi = hi < tile_hi_abs ? hi : tile_hi_abs;
@@ -1735,11 +1745,11 @@ PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
               b = (b & 0xF0) | static_cast<uint8_t>(code);
             else
               b = (b & 0x0F) | static_cast<uint8_t>(code << 4);
-            ++n_base;
+            ++shard->n_base;
           }
         }
         int64_t attach = rpos + len - 1;
-        if (attach >= start && attach < end && k + 1 < n_cigar) {
+        if (attach >= sub_lo && attach < sub_hi && k + 1 < n_cigar) {
           uint32_t nv;
           memcpy(&nv, cig + 4 * (k + 1), 4);
           int nop = nv & 0xF;
@@ -1753,46 +1763,47 @@ PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
               const uint8_t nt16 = (qi & 1) ? (byte & 0xF) : (byte >> 4);
               allele.push_back(SEQ_NT16[nt16]);
             }
-            auto it = allele_ids.find(allele);
+            auto it = shard->allele_ids.find(allele);
             int32_t id;
-            if (it == allele_ids.end()) {
-              id = static_cast<int32_t>(n_alleles++);
-              allele_ids.emplace(allele, id);
-              ins_blob += allele;
-              ins_blob.push_back('\0');
+            if (it == shard->allele_ids.end()) {
+              id = static_cast<int32_t>(shard->allele_seqs.size());
+              shard->allele_ids.emplace(allele, id);
+              shard->allele_seqs.push_back(allele);
             } else {
               id = it->second;
             }
-            ins_pos.push_back(static_cast<int32_t>(attach));
-            ins_strand.push_back(strand);
-            ins_rank.push_back(rank + 1);
-            ins_hp.push_back(hp);
-            ins_allele.push_back(id);
+            shard->ins_pos.push_back(static_cast<int32_t>(attach));
+            shard->ins_strand.push_back(strand);
+            shard->ins_rank.push_back(rank + 1);
+            shard->ins_hp.push_back(hp);
+            shard->ins_allele.push_back(id);
           } else if (nop == CIGAR_D) {
-            del_pos.push_back(static_cast<int32_t>(attach));
-            del_strand.push_back(strand);
-            del_rank.push_back(rank + 1);
-            del_hp.push_back(hp);
-            del_len.push_back(static_cast<int32_t>(nlen));
+            shard->del_pos.push_back(static_cast<int32_t>(attach));
+            shard->del_strand.push_back(strand);
+            shard->del_rank.push_back(rank + 1);
+            shard->del_hp.push_back(hp);
+            shard->del_len.push_back(static_cast<int32_t>(nlen));
           }
         }
         qpos += len;
         rpos += len;
       } else if (op == CIGAR_D) {
-        int64_t lo = rpos > start ? rpos : start;
-        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        int64_t lo = rpos > sub_lo ? rpos : sub_lo;
+        int64_t hi = (rpos + len) < sub_hi ? (rpos + len) : sub_hi;
         for (int64_t p = lo; p < hi; ++p) {
-          star_pos.push_back(static_cast<int32_t>(p));
-          star_strand.push_back(strand);
-          star_hp.push_back(hp);
+          shard->star_rank.push_back(rank);
+          shard->star_pos.push_back(static_cast<int32_t>(p));
+          shard->star_strand.push_back(strand);
+          shard->star_hp.push_back(hp);
         }
         rpos += len;
       } else if (op == CIGAR_N) {
-        int64_t lo = rpos > start ? rpos : start;
-        int64_t hi = (rpos + len) < end ? (rpos + len) : end;
+        int64_t lo = rpos > sub_lo ? rpos : sub_lo;
+        int64_t hi = (rpos + len) < sub_hi ? (rpos + len) : sub_hi;
         if (lo < hi) {
           auto& target = strand ? skip_rev : skip_fwd;
-          for (int64_t p = lo; p < hi; ++p) target[p - start] += 1;
+          int32_t* tgt = target;
+          for (int64_t p = lo; p < hi; ++p) tgt[p - start] += 1;
         }
         rpos += len;
       } else if (op == CIGAR_I || op == CIGAR_S) {
@@ -1800,11 +1811,81 @@ PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
       }
     }
   }
+}
 
-  // concatenate per-tile arenas in tile order
+PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
+                                 int64_t end, int32_t min_mq, int32_t min_bq,
+                                 int32_t exclude_flags) {
+  constexpr int TILE_SHIFT = 8;       // keep in sync with ops/tilelet.py
+  constexpr int TILE = 1 << TILE_SHIFT;
+  constexpr int TILE_BYTES = TILE / 2;
+  auto* bam = static_cast<BamFile*>(handle);
+  const int64_t width = end - start;
+  const int64_t n_tiles = width > 0 ? (width + TILE - 1) / TILE : 0;
+
+  std::vector<int32_t> read_start_count(width, 0), read_end_count(width, 0),
+      skip_fwd(width, 0), skip_rev(width, 0);
+
+  RegionRecords region;
+  if (!load_region_records(bam, ref_id, start, end, min_mq, exclude_flags,
+                           &region))
+    return nullptr;
+
+  // position-sliced threading with TILE-ALIGNED bounds: every (read, tile)
+  // row belongs to exactly one slice, so concatenating shard arenas in
+  // slice order reproduces the single-thread tile-major row order exactly.
+  // Gate: 32 kb of positions and 256 reads per slice (cheaper than the
+  // tile builder's 64 kb gate -- this pass writes ~1 B/base arenas, so
+  // there is ~2x more work per position than the in-place count)
+  const char* thr_env = getenv("CLAIR3_RNA_TPU_NATIVE_THREADS");
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int n_threads = thr_env ? atoi(thr_env) : (hw > 0 ? hw : 1);
+  if (n_threads > 64) n_threads = 64;
+  int64_t cap = width / 32768;
+  int64_t by_records = static_cast<int64_t>(region.records.size() / 256);
+  if (by_records < cap) cap = by_records;
+  if (cap < 1) cap = 1;
+  if (n_threads > cap) n_threads = static_cast<int>(cap);
+  if (n_threads > n_tiles && n_tiles > 0)
+    n_threads = static_cast<int>(n_tiles);
+  if (n_threads < 1) n_threads = 1;
+  std::vector<PackedShard> shards(n_threads);
+  std::vector<int64_t> tile_bounds(n_threads + 1);
+  for (int t = 0; t <= n_threads; ++t)
+    tile_bounds[t] = n_tiles * t / n_threads;
+  auto sub_lo_of = [&](int t) { return start + tile_bounds[t] * TILE; };
+  auto sub_hi_of = [&](int t) {
+    int64_t hi = start + tile_bounds[t + 1] * TILE;
+    return hi < end ? hi : end;
+  };
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t nt = tile_bounds[t + 1] - tile_bounds[t];
+    shards[t].tile_codes.resize(nt);
+    shards[t].tile_meta.resize(nt);
+  }
+  if (n_threads == 1) {
+    packed_worker(region.records, start, start, end, 0, min_bq,
+                  read_start_count.data(), read_end_count.data(),
+                  skip_fwd.data(), skip_rev.data(), &shards[0]);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t)
+      threads.emplace_back(packed_worker, std::cref(region.records), start,
+                           sub_lo_of(t), sub_hi_of(t), tile_bounds[t], min_bq,
+                           read_start_count.data(), read_end_count.data(),
+                           skip_fwd.data(), skip_rev.data(), &shards[t]);
+    for (auto& th : threads) th.join();
+  }
+
+  int64_t n_base = 0;
+  for (const PackedShard& s : shards) n_base += s.n_base;
+
+  // rows: shard arenas in slice order == global tile order
   int64_t n_rows = 0;
-  for (int64_t t = 0; t < n_tiles; ++t)
-    n_rows += static_cast<int64_t>(tile_meta[t].size());
+  for (const PackedShard& s : shards)
+    for (const auto& meta : s.tile_meta)
+      n_rows += static_cast<int64_t>(meta.size());
   auto* out = new PackedOut();
   out->n_rows = n_rows;
   out->n_tiles = n_tiles;
@@ -1815,27 +1896,118 @@ PackedOut* extract_packed_native(void* handle, int32_t ref_id, int64_t start,
   out->tl_strand = static_cast<int8_t*>(malloc(n_rows + 1));
   out->tl_hp = static_cast<int8_t*>(malloc(n_rows + 1));
   int64_t r = 0;
-  for (int64_t t = 0; t < n_tiles; ++t) {
-    const auto& meta = tile_meta[t];
-    if (meta.empty()) continue;
-    memcpy(out->tl_codes + r * TILE_BYTES, tile_codes[t].data(),
-           meta.size() * TILE_BYTES);
-    for (const RowMeta& m : meta) {
-      out->tl_tile[r] = static_cast<int32_t>(t);
-      out->tl_rank[r] = m.rank;
-      out->tl_strand[r] = m.strand;
-      out->tl_hp[r] = m.hp;
-      ++r;
+  for (int sh = 0; sh < n_threads; ++sh) {
+    PackedShard& s = shards[sh];
+    for (size_t tl = 0; tl < s.tile_meta.size(); ++tl) {
+      const auto& meta = s.tile_meta[tl];
+      if (meta.empty()) continue;
+      const int64_t t = tile_bounds[sh] + static_cast<int64_t>(tl);
+      memcpy(out->tl_codes + r * TILE_BYTES, s.tile_codes[tl].data(),
+             meta.size() * TILE_BYTES);
+      for (const PackedRowMeta& m : meta) {
+        out->tl_tile[r] = static_cast<int32_t>(t);
+        out->tl_rank[r] = m.rank;
+        out->tl_strand[r] = m.strand;
+        out->tl_hp[r] = m.hp;
+        ++r;
+      }
+      s.tile_codes[tl].clear();
+      s.tile_codes[tl].shrink_to_fit();
     }
-    tile_codes[t].clear();
-    tile_codes[t].shrink_to_fit();
   }
 
+  // sparse events: concatenate shards (each shard is rank-nondecreasing),
+  // then stable-sort by rank to restore the exact single-thread read-major
+  // order; insertion allele ids are reassigned in first-occurrence order of
+  // the RESTORED order, reproducing single-thread ids bit-for-bit
+  struct StarRef { int64_t rank; int sh; int64_t i; };
+  struct InsRef { int64_t rank; int sh; int64_t i; };
+  struct DelRef { int64_t rank; int sh; int64_t i; };
+  std::vector<StarRef> star_refs;
+  std::vector<InsRef> ins_refs;
+  std::vector<DelRef> del_refs;
+  for (int sh = 0; sh < n_threads; ++sh) {
+    const PackedShard& s = shards[sh];
+    for (int64_t i = 0; i < static_cast<int64_t>(s.star_pos.size()); ++i)
+      star_refs.push_back({s.star_rank[i], sh, i});
+    for (int64_t i = 0; i < static_cast<int64_t>(s.ins_pos.size()); ++i)
+      ins_refs.push_back({s.ins_rank[i], sh, i});
+    for (int64_t i = 0; i < static_cast<int64_t>(s.del_pos.size()); ++i)
+      del_refs.push_back({s.del_rank[i], sh, i});
+  }
+  std::stable_sort(star_refs.begin(), star_refs.end(),
+                   [](const StarRef& a, const StarRef& b) {
+                     return a.rank < b.rank;
+                   });
+  std::stable_sort(ins_refs.begin(), ins_refs.end(),
+                   [](const InsRef& a, const InsRef& b) {
+                     return a.rank < b.rank;
+                   });
+  std::stable_sort(del_refs.begin(), del_refs.end(),
+                   [](const DelRef& a, const DelRef& b) {
+                     return a.rank < b.rank;
+                   });
+
+  std::vector<int32_t> star_pos;
+  std::vector<int8_t> star_strand, star_hp;
+  star_pos.reserve(star_refs.size());
+  for (const StarRef& ref : star_refs) {
+    const PackedShard& s = shards[ref.sh];
+    star_pos.push_back(s.star_pos[ref.i]);
+    star_strand.push_back(s.star_strand[ref.i]);
+    star_hp.push_back(s.star_hp[ref.i]);
+  }
+
+  std::vector<int32_t> ins_pos, ins_allele;
+  std::vector<int8_t> ins_strand, ins_hp;
+  std::vector<int64_t> ins_rank;
+  std::unordered_map<std::string, int32_t> allele_ids;
+  std::string ins_blob;
+  int64_t n_alleles = 0;
+  ins_pos.reserve(ins_refs.size());
+  for (const InsRef& ref : ins_refs) {
+    const PackedShard& s = shards[ref.sh];
+    const std::string& allele = s.allele_seqs[s.ins_allele[ref.i]];
+    auto it = allele_ids.find(allele);
+    int32_t id;
+    if (it == allele_ids.end()) {
+      id = static_cast<int32_t>(n_alleles++);
+      allele_ids.emplace(allele, id);
+      ins_blob += allele;
+      ins_blob.push_back('\0');
+    } else {
+      id = it->second;
+    }
+    ins_pos.push_back(s.ins_pos[ref.i]);
+    ins_strand.push_back(s.ins_strand[ref.i]);
+    ins_rank.push_back(s.ins_rank[ref.i]);
+    ins_hp.push_back(s.ins_hp[ref.i]);
+    ins_allele.push_back(id);
+  }
+
+  std::vector<int32_t> del_pos, del_len;
+  std::vector<int8_t> del_strand, del_hp;
+  std::vector<int64_t> del_rank;
+  del_pos.reserve(del_refs.size());
+  for (const DelRef& ref : del_refs) {
+    const PackedShard& s = shards[ref.sh];
+    del_pos.push_back(s.del_pos[ref.i]);
+    del_strand.push_back(s.del_strand[ref.i]);
+    del_rank.push_back(s.del_rank[ref.i]);
+    del_hp.push_back(s.del_hp[ref.i]);
+    del_len.push_back(s.del_len[ref.i]);
+  }
+
+  // cover prefix sums are slice-local (every read overlapping a slice
+  // contributed its clipped interval there), same as build_tile_native
   std::vector<int32_t> cover(width);
-  int32_t acc = 0;
-  for (int64_t i = 0; i < width; ++i) {
-    acc += cover_diff[i];
-    cover[i] = acc;
+  for (int t = 0; t < n_threads; ++t) {
+    int32_t acc = 0;
+    int64_t lo = sub_lo_of(t) - start, hi = sub_hi_of(t) - start;
+    for (int64_t i = lo; i < hi; ++i) {
+      acc += shards[t].cover_diff[i - lo];
+      cover[i] = acc;
+    }
   }
 
   out->n_star = static_cast<int64_t>(star_pos.size());

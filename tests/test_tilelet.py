@@ -205,3 +205,41 @@ def test_fused_packed_vcf_identical(tmp_path, monkeypatch, scatter):
     fused = _call(str(tmp_path / "fused.vcf"), fused=True)
     assert len(host) > 30
     assert fused == host
+
+
+def test_native_packed_thread_invariance(tmp_path, monkeypatch):
+    """extract_packed_native must be byte-identical for any thread count.
+
+    The threaded extractor shards the position axis into tile-aligned
+    slices; the merge restores single-thread read-major sparse-event order
+    (stable sort by rank) and first-occurrence allele ids. A 300 kb / 25x
+    fixture is large enough for tile_thread_count to allow 4 threads."""
+    from clair3_rna_tpu.pileup.chunk import open_bam
+
+    _, bam_path = _simulate(tmp_path, seed=11, contig_len=300_000, depth=25,
+                            n_variants=600)
+    bam = open_bam(bam_path)
+    if not hasattr(bam, "extract_packed"):
+        pytest.skip("native library unavailable")
+    cfg = PileupConfig()
+
+    def grab(n_threads):
+        monkeypatch.setenv("CLAIR3_RNA_TPU_NATIVE_THREADS", str(n_threads))
+        return bam.extract_packed("chr1", 0, 300_000, min_mq=cfg.min_mq,
+                                  min_bq=cfg.min_bq,
+                                  exclude_flags=cfg.exclude_flags)
+
+    base = grab(1)
+    assert len(base.star_pos) > 0 and len(base.ins_pos) > 0 \
+        and len(base.del_pos) > 0
+    for n in (2, 4):
+        multi = grab(n)
+        assert base.n_base == multi.n_base
+        for f in ("tl_codes", "tl_tile", "tl_rank", "tl_strand", "tl_hp",
+                  "star_pos", "star_strand", "star_hp", "ins_pos",
+                  "ins_strand", "ins_rank", "ins_hp", "ins_allele",
+                  "del_pos", "del_strand", "del_rank", "del_hp", "del_len",
+                  "read_start_count", "read_end_count", "skip_fwd_count",
+                  "skip_rev_count", "cover_count"):
+            assert np.array_equal(getattr(base, f), getattr(multi, f)), (f, n)
+        assert base.ins_seqs == multi.ins_seqs, n
