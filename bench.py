@@ -170,6 +170,7 @@ def bench_ours(fasta_path, bam_path):
     # device-only (arrays pre-staged in HBM). The e2e run's VCF is diffed
     # against the host run's -- fused_vcf_identical must be true.
     host_vcf = _vcf_body(bam_path + ".bench_out.vcf")
+    hd_host_vcf = _vcf_body(hd_bam + ".bench_out.vcf")
     try:
         os.environ["CLAIR3_RNA_TPU_PILEUP_BACKEND"] = "fused"
         _timed_runs(bam_path, fasta_path, cfg, call_cfg, params, forward,
@@ -185,6 +186,19 @@ def bench_ours(fasta_path, bam_path):
             raise RuntimeError(
                 f"fused VCF differs from host VCF: {len(fused_vcf)} vs "
                 f"{len(host_vcf)} rows")
+        # renormalization regime (depth 260 > 216): flagged candidates ride
+        # the per-candidate host hatch while the chunks stay fused; the VCF
+        # must still be identical to the host run's
+        result["fused_high_depth"] = _timed_runs(hd_bam, hd_fasta, cfg,
+                                                 call_cfg, params, forward,
+                                                 n_runs=2)
+        hd_fused_vcf = _vcf_body(hd_bam + ".bench_out.vcf")
+        result["fused_high_depth"]["fused_vcf_identical"] = \
+            hd_fused_vcf == hd_host_vcf
+        if hd_fused_vcf != hd_host_vcf:
+            raise RuntimeError(
+                f"fused high-depth VCF differs from host: "
+                f"{len(hd_fused_vcf)} vs {len(hd_host_vcf)} rows")
     finally:
         os.environ.pop("CLAIR3_RNA_TPU_PILEUP_BACKEND", None)
     result["fused_device_only"] = _bench_fused_device(bam_path, fasta_path,

@@ -294,10 +294,12 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
 
     # opt-in fused TPU-resident path (ops/fused_pileup): the whole chunk --
     # device CIGAR expansion, candidate mask, window gather, network,
-    # prescreen -- runs in ONE jit over staged packed-read arrays; chunks it
-    # cannot handle (renorm-depth candidates, splice-padding triggers,
-    # overflow) fall back to the host path below. Remaining gates: GVCF runs
-    # (which need every covered site's depth host-side anyway) and --debug.
+    # prescreen -- runs in ONE jit over staged packed-read arrays.
+    # Renorm-depth and splice-trigger candidates are rebuilt individually
+    # host-side (the hatch, FusedChunkCaller._hatch_records); only overflow
+    # or hatch-budget-exceeding chunks fall back wholesale. Remaining gates:
+    # GVCF runs (which need every covered site's depth host-side anyway)
+    # and --debug.
     fused_caller = None
     if (os.environ.get("CLAIR3_RNA_TPU_PILEUP_BACKEND") == "fused"
             and not call_cfg.gvcf
@@ -358,10 +360,17 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             kp = kp[(kp >= 0) & (kp < row_hi - row_lo)]
             cand_allow = np.zeros(row_hi - row_lo, np.int8)
             cand_allow[kp] = 1
+        host_ctx = {
+            "bam": bam, "fasta": fasta, "forward": forward,
+            "known_positions": known_vcf_positions.get(task.ctg_name)
+            if known_vcf_positions else None,
+            "bed_regions": bed_regions,
+        }
         return fused_caller.call_chunk(data, codes, task.ctg_name, ref_seq,
                                        ref_lo, task.start, task.end,
                                        cover_allow=cover_allow,
-                                       cand_allow=cand_allow)
+                                       cand_allow=cand_allow,
+                                       host_ctx=host_ctx)
 
     def build_one(task):
         t0 = time.time()

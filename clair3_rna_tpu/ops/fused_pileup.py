@@ -21,10 +21,13 @@ Exactness strategy (VCF-identical to the host path):
   tie-break;
 - BED restriction, known-site (-G) candidates, and head/tail mode run
   natively in the jit (mask inputs + run-extent rules; see make_fused_fn's
-  feature flags); chunks that need the high-coverage renormalization
+  feature flags); candidates that need the high-coverage renormalization
   (depth > 1.5*max_depth, float64 division on the host path) or that could
-  trigger the splice-padding backfill fall back to the host path wholesale
-  (`needs_host` in the outputs; FusedChunkCaller.call_chunk returns None).
+  trigger the splice-padding backfill are flagged (`host_flags` in the
+  outputs) and rebuilt individually on the host as 1-position mini chunks
+  (FusedChunkCaller._hatch_records) while the rest of the chunk stays
+  fused; only candidate/rank overflow, depths beyond the AF-threshold
+  table, or a flagged count exceeding hatch_max fall back per chunk.
 
 Two wire formats feed the fused jit:
 
@@ -419,10 +422,10 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
 
     Returns fused(*staged_args) -> one packed f32 array
     [max_candidates + 1, P + 12] (header row carries n_cand; body rows are
-    cand | probs+mask | gcount4 | grank4 | ref_count | depth | needs_host,
+    cand | probs+mask | gcount4 | grank4 | ref_count | depth | host_flags,
     P = probs-plus-prescreen width) so the host pays exactly ONE device
     fetch per chunk; see the packing comment in `_tail` for the f32
-    exactness argument.
+    exactness argument and the host_flags escape codes.
 
     `mode` picks the wire format: "packed" (tilelet rows + sparse side
     channel, from stage_chunk_packed) or "events" (flat event arrays, from
@@ -441,8 +444,9 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
       (run_clair3_rna:268-296 + src/create_tensor_pileup.py:551-554).
     - cfg.enable_splice_padding: candidates whose 33-window splice-skip
       statistics could trigger the reference's backfill
-      (src/create_tensor_pileup.py:573-593) are flagged needs_host, falling
-      back per chunk; non-triggering chunks stay fused and identical.
+      (src/create_tensor_pileup.py:573-593) are flagged in host_flags and
+      rebuilt host-side per candidate (the hatch); non-triggering
+      candidates stay fused and identical.
     - cfg.enable_head_tail: run-tail candidates kept and window slots
       outside the candidate's covered run zeroed
       (src/create_tensor_pileup.py:614-637).
@@ -589,7 +593,16 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
 
         cc = jnp.clip(cand, 0, W - 1)
         depth_c = depth[cc]
-        needs_host = (depth_c > max_depth * 1.5) & (cand < W)
+        # host_flags: per-candidate escape codes (0 = fully fused).
+        # 1 = renormalization depth (needs the host's float64 scale+truncate,
+        #     clair3_rna/utils.py:88-92) -- the window is rebuilt host-side
+        #     per candidate (FusedChunkCaller._hatch_records);
+        # 2 = conservative splice-padding trigger superset (same hatch);
+        # 4 = depth beyond the static AF-threshold table: the clamped
+        #     thresholds are lenient, so this candidate's candidacy itself
+        #     may be a false positive -> whole-chunk host fallback.
+        flags = jnp.where(depth_c > max_depth * 1.5, 1, 0)
+        flags = flags + jnp.where(depth_c >= D_TABLE, 4, 0)
         if splice:
             # conservative splice-padding trigger precondition (the exact
             # superset build_tensors uses): candidates that COULD trigger
@@ -612,11 +625,12 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
             maybe = over | ((depth_c == 0) & (wm_c > 0))
             if head_tail:
                 maybe &= run_end[cc] >= cc + FLANK  # flush windows never pad
-            needs_host |= maybe & (cand < W)
+            flags = flags + jnp.where(maybe, 2, 0)
+        flags = jnp.where(cand < W, flags, 0)
 
         # Pack every output into ONE f32 array [max_candidates+1, P+12]
         # (header row: n_cand; body rows: cand | probs+mask | gcount4 |
-        # grank4 | ref_count | depth | needs_host). A tuple return costs one
+        # grank4 | ref_count | depth | host_flags). A tuple return costs one
         # ~28 ms link round trip PER ARRAY to materialize on a tunnel-
         # attached chip -- 8 fetches x 12 chunks was ~2.7 s of the fused
         # end-to-end wall. All packed values are exact in f32: positions
@@ -632,7 +646,7 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
             grank_c.astype(jnp.float32),
             ref_count[cc][:, None].astype(jnp.float32),
             depth_c[:, None].astype(jnp.float32),
-            needs_host[:, None].astype(jnp.float32),
+            flags[:, None].astype(jnp.float32),
         ], axis=-1)
         header = jnp.zeros((1, body.shape[1]), jnp.float32) \
             .at[0, 0].set(n_cand.astype(jnp.float32))
@@ -805,9 +819,15 @@ def resolve_scatter(default_backend=None):
 class FusedChunkCaller:
     """Chunk-level driver around the fused jit: stage -> device -> rows.
 
-    call_chunk returns None when the chunk needs the host path (candidate
-    overflow, renormalization-depth candidates, or an unsupported feature
-    combination), letting the pipeline fall back transparently.
+    Candidates the jit cannot finish exactly (renormalization depth, the
+    splice-padding trigger superset) are flagged in host_flags and, when the
+    caller provides a host context, rebuilt individually on the host as
+    1-position mini chunks through the proven host builder + wire-forward
+    machinery (the "hatch") -- the rest of the chunk stays fused. call_chunk
+    returns None only for whole-chunk fallbacks: candidate overflow, rank
+    overflow, depth beyond the AF-threshold table, more than hatch_max
+    flagged candidates (a targeted rebuild would cost more than one chunk
+    build), or flagged candidates with no host context.
     """
 
     def __init__(self, params, cfg: PileupConfig, call_cfg,
@@ -820,7 +840,12 @@ class FusedChunkCaller:
         # 100 kb-chunk candidate density
         self.cfg = cfg
         self.call_cfg = call_cfg
+        self.params = params
         self.max_candidates = max_candidates
+        self.hatch_max = int(os.environ.get(
+            "CLAIR3_RNA_TPU_FUSED_HATCH_MAX", "64"))
+        self.hatch_chunks = 0      # chunks that used the per-candidate hatch
+        self.hatch_candidates = 0  # candidates rebuilt host-side via hatch
         self.scatter = resolve_scatter() if scatter is None else scatter
         self.mode = resolve_mode() if mode is None else mode
         self.known_only = known_only
@@ -843,12 +868,16 @@ class FusedChunkCaller:
         return fn
 
     def call_chunk(self, data, ref_codes, ctg_name, ref_seq, ref_lo,
-                   core_lo, core_hi, cover_allow=None, cand_allow=None):
+                   core_lo, core_hi, cover_allow=None, cand_allow=None,
+                   host_ctx=None):
         """One chunk: stage, run the fused jit, decode on host.
 
         `data` is a PackedReads (mode="packed") or PileupEvents
         (mode="events"). Returns (vcf_rows, n_candidates) or None for host
-        fallback."""
+        fallback. `host_ctx` enables the per-candidate hatch: a dict with
+        "bam", "fasta", "forward" (the pipeline's wire-forward jit, so hatch
+        probabilities are bit-identical to host-path probabilities) and
+        optionally "known_positions"/"bed_regions" for the mini builds."""
         import numpy as np
 
         from clair3_rna_tpu.caller.decode import decode_batch
@@ -893,14 +922,30 @@ class FusedChunkCaller:
         granks = body[:, 5 + P:9 + P].astype(np.int64)
         ref_count = body[:, 9 + P].astype(np.int64)
         depth_c = body[:, 10 + P].astype(np.int64)
-        needs_host = body[:, 11 + P] != 0.0
-        if n > self.max_candidates or needs_host.any():
-            return None  # host path handles overflow / renorm chunks
+        flags = body[:, 11 + P].astype(np.int64)
+        if n > self.max_candidates:
+            return None  # host path handles candidate overflow
 
         cand = cand[:n]
+        flags = flags[:n]
         probs, needs_decode = out[:n, :-1], out[:n, -1] != 0.0
         if self.call_cfg.show_ref:
             needs_decode = np.ones(n, dtype=bool)
+        host_rows = []
+        flagged = np.nonzero(flags)[0]
+        if len(flagged):
+            recs = self._hatch_records(host_ctx, ctg_name, cand, flags,
+                                       flagged, staged.start)
+            if recs is None:
+                return None  # whole-chunk host fallback
+            from clair3_rna_tpu.caller.pipeline import call_tensor_records
+            host_rows = call_tensor_records(recs, host_ctx["forward"],
+                                            self.params, self.cfg,
+                                            self.call_cfg)
+            needs_decode = needs_decode.copy()
+            needs_decode[flagged] = False  # handled by the hatch
+            self.hatch_chunks += 1
+            self.hatch_candidates += len(flagged)
         sel = np.nonzero(needs_decode)[0]
         pos_abs = cand.astype(np.int64) + staged.start
         ins_lo = np.searchsorted(indels.ins_pos, pos_abs, side="left")
@@ -922,4 +967,42 @@ class FusedChunkCaller:
         rows = decode_batch([ctg_name] * len(sel),
                             [int(pos_abs[i]) + 1 for i in sel],
                             refseqs, alt_data, probs[sel], self.call_cfg)
+        if host_rows:
+            rows = sorted(rows + host_rows,
+                          key=lambda r: int(r.split("\t", 2)[1]))
         return rows, n
+
+    def _hatch_records(self, host_ctx, ctg_name, cand, flags, flagged,
+                       start):
+        """Targeted host rebuild of hatch-flagged candidates.
+
+        Each flagged candidate becomes a 1-position mini ChunkTask through
+        build_chunk_tensors: the mini build's +-33 row halo sees exactly the
+        reads and coverage runs the full-chunk build would (window content,
+        splice backfill and head/tail zeroing are all window-local), so the
+        record -- including the float64 renormalization applied downstream
+        by batch_wire -- is bit-identical to the host path's. Returns None
+        to request whole-chunk fallback: no host context, too many flagged
+        candidates (a full chunk build is then cheaper), depth beyond the
+        AF-threshold table (candidacy itself unsound, host_flags bit 4), or
+        a device/host candidacy disagreement (defensive; should not
+        happen)."""
+        if host_ctx is None or len(flagged) > self.hatch_max:
+            return None
+        if (flags[flagged] >= 4).any():
+            return None
+        from clair3_rna_tpu.pileup.chunk import (ChunkTask,
+                                                 build_chunk_tensors)
+        recs = []
+        for i in flagged:
+            p = int(cand[i]) + start
+            mini = ChunkTask(ctg_name, p, p + 1)
+            rr = build_chunk_tensors(
+                host_ctx["bam"], host_ctx["fasta"], mini, self.cfg,
+                known_positions=host_ctx.get("known_positions"),
+                bed_regions=host_ctx.get("bed_regions"))
+            rec = next((r for r in rr if r.position == p + 1), None)
+            if rec is None:
+                return None
+            recs.append(rec)
+        return recs

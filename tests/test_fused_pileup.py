@@ -54,19 +54,46 @@ def test_fused_path_vcf_identical(tmp_path, monkeypatch, show_ref):
     assert fused == host
 
 
-def test_fused_high_depth_falls_back_identically(tmp_path, monkeypatch):
-    """depth > 1.5*max_depth needs the host float64 renormalization; the
-    fused path must detect it per chunk and fall back, keeping the VCF
+def _spy_callers(monkeypatch):
+    """Capture FusedChunkCaller instances created inside run_calling, so
+    tests can assert the hatch (vs whole-chunk fallback) actually engaged."""
+    import clair3_rna_tpu.ops.fused_pileup as fp
+
+    created = []
+    orig = fp.FusedChunkCaller
+
+    class Spy(orig):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            created.append(self)
+
+    monkeypatch.setattr(fp, "FusedChunkCaller", Spy)
+    return created
+
+
+@pytest.mark.parametrize("hatch_max", ["64", "0"])
+def test_fused_high_depth_hatch_identical(tmp_path, monkeypatch, hatch_max):
+    """depth > 1.5*max_depth needs the host float64 renormalization:
+    flagged candidates are rebuilt host-side individually (the hatch) while
+    the chunk stays fused, VCF-identical. With the hatch budget forced to 0
+    the old whole-chunk fallback triggers instead and must also be
     identical."""
     fasta, bam = _dataset(tmp_path, seed=42, contig_len=4_000, n_variants=12,
                           depth=260, splice=False)
     params = init_params(0)
     host = _call(bam, fasta, str(tmp_path / "host.vcf"), params, True,
                  monkeypatch, fused=False)
+    monkeypatch.setenv("CLAIR3_RNA_TPU_FUSED_HATCH_MAX", hatch_max)
+    created = _spy_callers(monkeypatch)
     fused = _call(bam, fasta, str(tmp_path / "fused.vcf"), params, True,
                   monkeypatch, fused=True)
     assert len(host) > 5
     assert fused == host
+    hatched = sum(c.hatch_candidates for c in created)
+    if hatch_max == "0":
+        assert hatched == 0  # budget 0: whole-chunk fallback path
+    else:
+        assert hatched > 0  # renorm candidates went through the hatch
 
 
 def test_fused_chunk_caller_direct(tmp_path, monkeypatch):
@@ -149,10 +176,12 @@ def test_fused_phased_vcf_identical(tmp_path, monkeypatch):
 def test_fused_extended_modes_vcf_identical(tmp_path, monkeypatch, mode):
     """The previously host-gated modes (BED restriction, -G known sites,
     splice padding, head/tail) run through the fused path and stay
-    VCF-identical; splice chunks that could trigger the backfill fall back
-    per chunk (src/create_tensor_pileup.py:551-554,573-593,614-637)."""
+    VCF-identical; candidates that could trigger the splice backfill are
+    rebuilt host-side via the per-candidate hatch
+    (src/create_tensor_pileup.py:551-554,573-593,614-637)."""
     fasta, bam = _dataset(tmp_path, seed=47)
     params = init_params(0)
+    created = _spy_callers(monkeypatch)
     cfg = PileupConfig(batch_size=256)
     kw = {}
     if mode == "bed":
@@ -175,6 +204,10 @@ def test_fused_extended_modes_vcf_identical(tmp_path, monkeypatch, mode):
                      monkeypatch, fused=True, cfg=cfg, **kw)
     assert len(host) > 10
     assert fused == host
+    if mode in ("splice", "splice_head_tail"):
+        # the dataset's splice junction flags trigger-superset candidates;
+        # they must go through the hatch, not a whole-chunk fallback
+        assert sum(c.hatch_candidates for c in created) > 0
 
 
 def test_fused_with_manifest_resume(tmp_path, monkeypatch):
