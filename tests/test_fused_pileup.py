@@ -171,6 +171,42 @@ def test_fused_phased_vcf_identical(tmp_path, monkeypatch):
     assert fused == host
 
 
+def test_fused_phased_high_depth_hatch_identical(tmp_path, monkeypatch):
+    """Renormalization hatch in phased 30-channel mode: flagged candidates
+    rebuild host-side with the phased builder + phased wire forward and the
+    VCF stays identical."""
+    rng = random.Random(57)
+    genome = simdata.random_genome(rng, [("chr1", 3_000)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=10,
+                                      het_genotypes=((0, 1), (1, 0)))
+    fasta = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "reads.bam")
+    from clair3_rna_tpu.io.fasta import write_fasta
+    write_fasta(fasta, genome)
+    simdata.simulate_bam(bam, genome, variants, rng, depth=250, with_hp=True)
+    cfg = PileupConfig(batch_size=256, phased=True)
+    params = init_params(0, phased=True)
+
+    def _run(out, fused):
+        if fused:
+            monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", "fused")
+        else:
+            monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND",
+                               raising=False)
+        run_calling(bam, fasta, out, cfg=cfg,
+                    call_cfg=CallConfig(show_ref=True), params=params,
+                    contigs=["chr1"], chunk_size=3_000, compress=False,
+                    progress=False)
+        return [l for l in open(out) if not l.startswith("#")]
+
+    host = _run(str(tmp_path / "host.vcf"), fused=False)
+    created = _spy_callers(monkeypatch)
+    fused = _run(str(tmp_path / "fused.vcf"), fused=True)
+    assert len(host) > 3
+    assert fused == host
+    assert sum(c.hatch_candidates for c in created) > 0
+
+
 @pytest.mark.parametrize("mode", ["bed", "known", "splice", "head_tail",
                                   "splice_head_tail"])
 def test_fused_extended_modes_vcf_identical(tmp_path, monkeypatch, mode):
