@@ -823,11 +823,13 @@ class FusedChunkCaller:
     splice-padding trigger superset) are flagged in host_flags and, when the
     caller provides a host context, rebuilt individually on the host as
     1-position mini chunks through the proven host builder + wire-forward
-    machinery (the "hatch") -- the rest of the chunk stays fused. call_chunk
-    returns None only for whole-chunk fallbacks: candidate overflow, rank
-    overflow, depth beyond the AF-threshold table, more than hatch_max
-    flagged candidates (a targeted rebuild would cost more than one chunk
-    build), or flagged candidates with no host context.
+    machinery (the "hatch") -- the rest of the chunk stays fused. Chunks
+    whose candidate count exceeds the padded budget are retried with a
+    doubled budget (each budget compiles once) up to max_budget. call_chunk
+    returns None only for whole-chunk fallbacks: candidates beyond
+    max_budget, rank overflow, depth beyond the AF-threshold table, more
+    than hatch_max flagged candidates (a targeted rebuild would cost more
+    than one chunk build), or flagged candidates with no host context.
     """
 
     def __init__(self, params, cfg: PileupConfig, call_cfg,
@@ -846,25 +848,37 @@ class FusedChunkCaller:
             "CLAIR3_RNA_TPU_FUSED_HATCH_MAX", "64"))
         self.hatch_chunks = 0      # chunks that used the per-candidate hatch
         self.hatch_candidates = 0  # candidates rebuilt host-side via hatch
+        self.max_budget = int(os.environ.get(
+            "CLAIR3_RNA_TPU_FUSED_MAX_BUDGET", "4096"))
+        self.overflow_retries = 0   # chunks rerun with a doubled budget
         self.scatter = resolve_scatter() if scatter is None else scatter
         self.mode = resolve_mode() if mode is None else mode
         self.known_only = known_only
         self.with_masks = with_masks
-        self.fused = make_fused_fn(params, cfg,
-                                   max_candidates=max_candidates,
-                                   add_indel_length=call_cfg.add_indel_length,
-                                   scatter=self.scatter, mode=self.mode,
-                                   known_only=known_only,
-                                   with_masks=with_masks)
-        self._blob_fns = {}  # layout -> jitted blob entry (see pack_wire)
+        self._fused_by_budget = {}
+        self.fused = self._get_fused(max_candidates)
+        self._blob_fns = {}  # (layout, budget) -> jitted blob entry
 
-    def _blob_fn(self, layout):
-        fn = self._blob_fns.get(layout)
+    def _get_fused(self, budget):
+        fn = self._fused_by_budget.get(budget)
+        if fn is None:
+            fn = make_fused_fn(self.params, self.cfg, max_candidates=budget,
+                               add_indel_length=self.call_cfg.add_indel_length,
+                               scatter=self.scatter, mode=self.mode,
+                               known_only=self.known_only,
+                               with_masks=self.with_masks)
+            self._fused_by_budget[budget] = fn
+        return fn
+
+    def _blob_fn(self, layout, budget=None):
+        budget = self.max_candidates if budget is None else budget
+        key = (layout, budget)
+        fn = self._blob_fns.get(key)
         if fn is None:
             import jax
-            fused = self.fused
+            fused = self._get_fused(budget)
             fn = jax.jit(lambda blob, _l=layout: fused(*unpack_wire(blob, _l)))
-            self._blob_fns[layout] = fn
+            self._blob_fns[key] = fn
         return fn
 
     def call_chunk(self, data, ref_codes, ctg_name, ref_seq, ref_lo,
@@ -912,8 +926,21 @@ class FusedChunkCaller:
             indels = SparseIndels.from_events(events)
         blob, layout = pack_wire(args)
         # ONE device transfer (blob) and ONE device fetch (packed output)
-        packed_out = np.asarray(self._blob_fn(layout)(blob))
+        import jax
+        blob_dev = jax.device_put(blob)  # reusable if an overflow retries
+        packed_out = np.asarray(self._blob_fn(layout)(blob_dev))
         n = int(packed_out[0, 0])
+        budget = self.max_candidates
+        while n > budget:
+            # dense-candidate chunk: retry the SAME staged blob with a
+            # doubled candidate budget (mask and counts are budget-
+            # independent, only the padded gather widens)
+            budget *= 2
+            if budget > self.max_budget:
+                return None  # beyond the budget ladder: host path
+            self.overflow_retries += 1
+            packed_out = np.asarray(self._blob_fn(layout, budget)(blob_dev))
+            n = int(packed_out[0, 0])
         body = packed_out[1:]
         P = body.shape[1] - 12
         cand = body[:, 0].astype(np.int64)
@@ -923,9 +950,6 @@ class FusedChunkCaller:
         ref_count = body[:, 9 + P].astype(np.int64)
         depth_c = body[:, 10 + P].astype(np.int64)
         flags = body[:, 11 + P].astype(np.int64)
-        if n > self.max_candidates:
-            return None  # host path handles candidate overflow
-
         cand = cand[:n]
         flags = flags[:n]
         probs, needs_decode = out[:n, :-1], out[:n, -1] != 0.0

@@ -246,6 +246,24 @@ def test_fused_extended_modes_vcf_identical(tmp_path, monkeypatch, mode):
         assert sum(c.hatch_candidates for c in created) > 0
 
 
+def test_fused_overflow_retry_identical(tmp_path, monkeypatch):
+    """A chunk with more candidates than the padded budget (1024) retries
+    with a doubled budget instead of falling back to the host path; -G
+    known-site grids produce exactly such dense chunks."""
+    fasta, bam = _dataset(tmp_path, seed=49, contig_len=20_000, n_variants=60,
+                          splice=False)
+    params = init_params(0)
+    known = {"chr1": list(range(200, 19_800, 15))}  # ~1300 candidate sites
+    host = _call_kw(bam, fasta, str(tmp_path / "host.vcf"), params,
+                    monkeypatch, fused=False, known_vcf_positions=known)
+    created = _spy_callers(monkeypatch)
+    fused = _call_kw(bam, fasta, str(tmp_path / "fused.vcf"), params,
+                     monkeypatch, fused=True, known_vcf_positions=known)
+    assert len(host) > 1000
+    assert fused == host
+    assert sum(c.overflow_retries for c in created) > 0
+
+
 def test_fused_with_manifest_resume(tmp_path, monkeypatch):
     """Fused-path rows persist in contig manifests and restore on --resume,
     matching a fresh host-path run."""
