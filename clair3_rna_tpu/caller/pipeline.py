@@ -372,12 +372,15 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                                        cand_allow=cand_allow,
                                        host_ctx=host_ctx)
 
+    fused_fallbacks = [0]  # whole-chunk host fallbacks (list: thread-shared)
+
     def build_one(task):
         t0 = time.time()
         if fused_caller is not None:
             fused_out = fused_one(task)
             if fused_out is not None:
                 return ("rows",) + fused_out, time.time() - t0
+            fused_fallbacks[0] += 1
         out = build_chunk_tensors(
             bam, fasta, task, cfg,
             known_positions=known_vcf_positions.get(task.ctg_name)
@@ -562,4 +565,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             "build %.2fs infer %.2fs decode %.2fs",
             stats.candidates, stats.decoded, n_rows, n_tagged,
             stats.build_s, stats.infer_s, stats.decode_s)
+        if fused_caller is not None:
+            logger.info(
+                "fused path: %d hatched candidates over %d chunks, "
+                "%d budget retries, %d whole-chunk host fallbacks",
+                fused_caller.hatch_candidates, fused_caller.hatch_chunks,
+                fused_caller.overflow_retries, fused_fallbacks[0])
     return outputs, stats
