@@ -165,8 +165,12 @@ def simulate_read(rng, ref_seq, contig_variants, start, end, error_rate=0.02,
 
 def simulate_bam(path, genome, variants, rng, depth=30, read_len=400,
                  error_rate=0.02, splice_sites=None, mapq=(20, 60),
-                 with_hp=False, region=None):
-    """Write a coordinate-sorted BAM of simulated reads; returns read count."""
+                 with_hp=False, region=None, error_rate_range=None):
+    """Write a coordinate-sorted BAM of simulated reads; returns read count.
+
+    error_rate_range=(lo, hi) draws a PER-READ error rate uniformly from
+    [lo, hi) instead of the uniform error_rate -- models the per-read
+    quality spread of real dRNA data."""
     refs = [(name, len(seq)) for name, seq in genome.items()]
     count = 0
     with BamWriter(path, refs) as writer:
@@ -191,9 +195,11 @@ def simulate_bam(path, genome, variants, rng, depth=30, read_len=400,
                         if start < istart and iend < end:
                             splice.append((istart, iend))
                 hap = rng.randrange(2)
+                er = rng.uniform(*error_rate_range) if error_rate_range \
+                    else error_rate
                 pos, cigar, rseq = simulate_read(
                     rng, seq, carried_by_hap[hap], start, end,
-                    error_rate=error_rate, splice=splice, haplotype=hap)
+                    error_rate=er, splice=splice, haplotype=hap)
                 if not rseq:
                     continue
                 flag = FLAG_REVERSE if rng.random() < 0.5 else 0

@@ -51,7 +51,7 @@ def test_switch_error_rate_metric():
 
 
 def _phasing_dataset(tmp_path, seed=17, contig_len=60_000, n_variants=150,
-                     depth=30):
+                     depth=30, error_rate_range=None):
     rng = random.Random(seed)
     genome = simdata.random_genome(rng, [("chr1", contig_len)])
     variants = simdata.plant_variants(rng, genome, n_per_contig=n_variants,
@@ -59,7 +59,7 @@ def _phasing_dataset(tmp_path, seed=17, contig_len=60_000, n_variants=150,
                                       het_genotypes=((0, 1), (1, 0)))
     bam_path = str(tmp_path / "reads.bam")
     simdata.simulate_bam(bam_path, genome, variants, rng, depth=depth,
-                         with_hp=True)
+                         with_hp=True, error_rate_range=error_rate_range)
     return genome, variants, bam_path
 
 
@@ -111,6 +111,35 @@ def test_pairwise_phaser_switch_error_vs_truth(tmp_path):
         n_all += len(pairs)
     assert n_all > len(usable) // 2, "too few reads haplotagged"
     assert n_ok / n_all > 0.95, f"haplotag accuracy {n_ok / n_all:.3f}"
+
+
+def test_pairwise_phaser_switch_error_nonuniform_errors(tmp_path):
+    """Phaser quality under a realistic per-read quality spread (error rates
+    drawn per read from 1%-12%, like mixed-quality dRNA reads) rather than
+    the uniform-error idealization: switch error must stay low and the
+    pairwise linkage must still do no worse than the adjacent-only chain."""
+    from clair3_rna_tpu.io.bam import BamReader
+
+    genome, variants, bam_path = _phasing_dataset(
+        tmp_path, seed=23, error_rate_range=(0.01, 0.12))
+    het = [v for v in variants["chr1"] if sorted(v.genotype) == [0, 1]
+           and len(v.ref) == 1 and len(v.alt) == 1]
+    sites = [HetSite(pos=v.pos, ref=v.ref, alt=v.alt) for v in het]
+    truth_phase = np.array([v.genotype.index(1) for v in het], np.int8)
+    site_positions = np.array([s.pos for s in sites], np.int64)
+    lookup = {s.pos: i for i, s in enumerate(sites)}
+
+    bam = BamReader(bam_path)
+    usable = [r for r in bam.fetch("chr1") if not (r.flag & 2316)]
+    alleles = [read_alleles(r, site_positions, lookup, sites) for r in usable]
+
+    pw_phase, pw_block = phase_sites_pairwise(alleles, len(sites))
+    adj_phase, adj_block = phase_sites(alleles, len(sites))
+    pw_ser, pw_pairs = switch_error_rate(pw_phase, pw_block, truth_phase)
+    adj_ser, _ = switch_error_rate(adj_phase, adj_block, truth_phase)
+    assert pw_pairs > 50
+    assert pw_ser <= adj_ser + 1e-9
+    assert pw_ser < 0.10, f"switch error too high on noisy reads: {pw_ser:.3f}"
 
 
 def test_external_phaser_orchestration(tmp_path, monkeypatch):
