@@ -850,6 +850,8 @@ class FusedChunkCaller:
         self.hatch_candidates = 0  # candidates rebuilt host-side via hatch
         self.max_budget = int(os.environ.get(
             "CLAIR3_RNA_TPU_FUSED_MAX_BUDGET", "4096"))
+        self._renorm_depth = config.MAX_DEPTH_BY_PLATFORM.get(
+            cfg.platform, config.MAX_DEPTH) * 1.5
         self.overflow_retries = 0   # chunks rerun with a doubled budget
         self.scatter = resolve_scatter() if scatter is None else scatter
         self.mode = resolve_mode() if mode is None else mode
@@ -897,6 +899,19 @@ class FusedChunkCaller:
         from clair3_rna_tpu.caller.decode import decode_batch
         from clair3_rna_tpu.pileup.builder import (SparseIndels,
                                                    _alt_data_fast)
+
+        # perf precheck (correctness-neutral: the host path is always
+        # exact): a chunk whose covered positions are MOSTLY renorm-deep --
+        # the uniformly high-expression regime -- will flag more candidates
+        # than hatch_max with near-certainty, so skip the staging sort and
+        # the device pass and go straight to the host path. Mixed chunks (a
+        # deep transcript on a normal background) still run fused, with the
+        # hatch covering their flagged minority.
+        cover = data.cover_count
+        covered_depths = cover[cover > 0]
+        if covered_depths.size and 2 * int(np.count_nonzero(
+                covered_depths > self._renorm_depth)) > covered_depths.size:
+            return None
 
         if self.mode == "packed":
             if not hasattr(data, "tl_codes"):  # PileupEvents given: convert

@@ -165,12 +165,18 @@ def simulate_read(rng, ref_seq, contig_variants, start, end, error_rate=0.02,
 
 def simulate_bam(path, genome, variants, rng, depth=30, read_len=400,
                  error_rate=0.02, splice_sites=None, mapq=(20, 60),
-                 with_hp=False, region=None, error_rate_range=None):
+                 with_hp=False, region=None, error_rate_range=None,
+                 extra_regions=None):
     """Write a coordinate-sorted BAM of simulated reads; returns read count.
 
     error_rate_range=(lo, hi) draws a PER-READ error rate uniformly from
     [lo, hi) instead of the uniform error_rate -- models the per-read
-    quality spread of real dRNA data."""
+    quality spread of real dRNA data.
+
+    extra_regions={name: [(lo, hi, extra_depth), ...]} adds extra_depth of
+    coverage confined to [lo, hi) on top of the base depth -- models a
+    high-expression transcript on a normal background. Appended after the
+    base read loop so default-argument RNG streams are unchanged."""
     refs = [(name, len(seq)) for name, seq in genome.items()]
     count = 0
     with BamWriter(path, refs) as writer:
@@ -210,6 +216,32 @@ def simulate_bam(path, genome, variants, rng, depth=30, read_len=400,
                     name=f"read_{name}_{i}", flag=flag, ref_id=ref_id,
                     pos=pos, mapq=rng.randrange(*mapq), cigar=cigar,
                     seq=rseq, qual=qual, tags=tags))
+            if extra_regions:
+                for xlo, xhi, xdepth in extra_regions.get(name, []):
+                    n_extra = max(1, xdepth * (xhi - xlo) // read_len)
+                    for i in range(n_extra):
+                        start = rng.randrange(xlo,
+                                              max(xlo + 1, xhi - read_len // 2))
+                        end = min(start + rng.randrange(read_len // 2,
+                                                        read_len * 2), xhi)
+                        if end - start < 30:
+                            continue
+                        hap = rng.randrange(2)
+                        er = rng.uniform(*error_rate_range) \
+                            if error_rate_range else error_rate
+                        pos, cigar, rseq = simulate_read(
+                            rng, seq, carried_by_hap[hap], start, end,
+                            error_rate=er, splice=[], haplotype=hap)
+                        if not rseq:
+                            continue
+                        flag = FLAG_REVERSE if rng.random() < 0.5 else 0
+                        tags = {"HP": hap + 1} if with_hp else {}
+                        qual = bytes([min(40, max(10, int(rng.gauss(25, 5))))
+                                      for _ in range(len(rseq))])
+                        reads.append(BamRecord(
+                            name=f"read_{name}_x{i}", flag=flag,
+                            ref_id=ref_id, pos=pos, mapq=rng.randrange(*mapq),
+                            cigar=cigar, seq=rseq, qual=qual, tags=tags))
             reads.sort(key=lambda r: r.pos)
             for r in reads:
                 writer.write(r)

@@ -71,29 +71,44 @@ def _spy_callers(monkeypatch):
     return created
 
 
-@pytest.mark.parametrize("hatch_max", ["64", "0"])
-def test_fused_high_depth_hatch_identical(tmp_path, monkeypatch, hatch_max):
-    """depth > 1.5*max_depth needs the host float64 renormalization:
-    flagged candidates are rebuilt host-side individually (the hatch) while
-    the chunk stays fused, VCF-identical. With the hatch budget forced to 0
-    the old whole-chunk fallback triggers instead and must also be
-    identical."""
-    fasta, bam = _dataset(tmp_path, seed=42, contig_len=4_000, n_variants=12,
-                          depth=260, splice=False)
+@pytest.mark.parametrize("case", ["hatch", "budget0", "deep_precheck"])
+def test_fused_high_depth_hatch_identical(tmp_path, monkeypatch, case):
+    """depth > 1.5*max_depth needs the host float64 renormalization.
+
+    - "hatch": a deep transcript window on a normal-depth background --
+      flagged candidates rebuild host-side individually while the chunk
+      stays fused, VCF-identical.
+    - "budget0": hatch budget forced to 0 -> the whole-chunk fallback
+      triggers instead and must also be identical.
+    - "deep_precheck": uniformly renorm-deep chunk -> the coverage precheck
+      skips staging entirely (hatch never engages), still identical."""
     params = init_params(0)
+    if case == "deep_precheck":
+        fasta, bam = _dataset(tmp_path, seed=42, contig_len=4_000,
+                              n_variants=12, depth=260, splice=False)
+    else:
+        rng = random.Random(45)
+        genome = simdata.random_genome(rng, [("chr1", 8_000)])
+        variants = simdata.plant_variants(rng, genome, n_per_contig=24)
+        fasta = str(tmp_path / "ref.fa")
+        bam = str(tmp_path / "reads.bam")
+        write_fasta(fasta, genome)
+        simdata.simulate_bam(bam, genome, variants, rng, depth=30,
+                             extra_regions={"chr1": [(3_000, 4_500, 230)]})
     host = _call(bam, fasta, str(tmp_path / "host.vcf"), params, True,
                  monkeypatch, fused=False)
-    monkeypatch.setenv("CLAIR3_RNA_TPU_FUSED_HATCH_MAX", hatch_max)
+    if case == "budget0":
+        monkeypatch.setenv("CLAIR3_RNA_TPU_FUSED_HATCH_MAX", "0")
     created = _spy_callers(monkeypatch)
     fused = _call(bam, fasta, str(tmp_path / "fused.vcf"), params, True,
                   monkeypatch, fused=True)
     assert len(host) > 5
     assert fused == host
     hatched = sum(c.hatch_candidates for c in created)
-    if hatch_max == "0":
-        assert hatched == 0  # budget 0: whole-chunk fallback path
-    else:
+    if case == "hatch":
         assert hatched > 0  # renorm candidates went through the hatch
+    else:
+        assert hatched == 0  # fallback / precheck paths
 
 
 def test_fused_chunk_caller_direct(tmp_path, monkeypatch):
