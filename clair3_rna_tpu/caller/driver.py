@@ -123,7 +123,8 @@ def run_shard_calling(args, cfg, call_cfg: CallConfig):
         call_cfg=call_cfg, params=params, forward=forward, contigs=contigs,
         n_shards=args.n_shards, shard_id=args.shard_id,
         chunk_size=args.chunk_size, known_vcf_positions=known_positions,
-        bed_regions=bed_regions, resume=getattr(args, "resume", False))
+        bed_regions=bed_regions, resume=getattr(args, "resume", False),
+        pileup_backend=getattr(args, "pileup_backend", None))
     logger.info("[INFO] shard %d/%d done: %d candidates, %d rows",
                 args.shard_id, args.n_shards, stats.candidates, stats.rows)
     return []
@@ -169,6 +170,11 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
     os.makedirs(args.output_dir, exist_ok=True)
     _attach_run_log(args.output_dir)
     contigs, bed_regions, known_positions = _resolve_inputs(args)
+    # resolve once up front so --pileup_backend auto probes the link a
+    # single time per run (not per pass)
+    from clair3_rna_tpu.caller.backend import resolve_backend
+    backend = resolve_backend(getattr(args, "pileup_backend", None))
+    args.pileup_backend = backend
 
     mesh = None
     if not getattr(args, "no_device_mesh", False):
@@ -199,6 +205,7 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
         manifest_dir=os.path.join(args.output_dir, "tmp"),
         resume=getattr(args, "resume", False),
         joblog=getattr(args, "joblog", None),
+        pileup_backend=backend,
     )
     logger.info("[INFO] pileup calling finished: %s", ", ".join(outputs))
 
@@ -247,6 +254,7 @@ def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
         rediportal_path=rediportal_path,
         output_no_tagging_path=os.path.join(
             args.output_dir, prefix + "_no_tagging_enable_phasing.vcf"),
-        sample_name=args.sample_name, compress=not args.no_compress)
+        sample_name=args.sample_name, compress=not args.no_compress,
+        pileup_backend=getattr(args, "pileup_backend", None))
     logger.info("[INFO] phasing-model calling finished: %s", ", ".join(outputs))
     return outputs

@@ -245,18 +245,22 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 sample_name=None, cmd_line=None, compress=True,
                 known_vcf_positions=None, bed_regions=None, progress=True,
                 manifest_dir=None, resume=False, tasks=None, bam=None,
-                joblog=None):
+                joblog=None, pileup_backend=None):
     """Full pileup calling: plan chunks, build tensors, infer, decode, merge.
 
     params/forward default to a fresh random-init network (useful only for
     testing; pass converted trained weights for real calling).
 
-    manifest_dir enables contig-level checkpointing: each finished contig's
-    decoded rows persist as an idempotent manifest file, and with
-    resume=True a re-run skips those contigs entirely. This is the shard
-    manifest / deterministic-retry analogue of the reference's
-    filesystem-state resume (tmp/CHUNK_LIST + --skip_steps,
-    run_clair3_rna:437-449,855-867), at finer granularity.
+    manifest_dir enables CHUNK-granular checkpointing: each chunk's decoded
+    rows append to {ctg}.chunks.jsonl as soon as every one of its
+    candidates has drained from the inference queue (one JSON line per
+    chunk, crash-tolerant: a partial trailing line from a kill is ignored
+    on restore), and a whole-contig {ctg}.done.json supersedes the line
+    file when the contig completes. With resume=True a re-run restores
+    finished contigs AND finished chunks of partial contigs, redoing only
+    unfinished chunks -- the recovery unit of the reference's per-chunk
+    pileup_{ctg}_{chunk}.vcf files + --skip_steps
+    (/root/reference/src/sort_vcf.py:218-253, run_clair3_rna:855-867).
 
     joblog writes a per-chunk timing TSV (contig, start, end, candidates,
     build_seconds) -- the in-process analogue of the reference's GNU
@@ -290,19 +294,32 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                             chunk_size=chunk_size or config.CHUNK_SIZE)
     stats = CallStats()
     rows_by_contig: dict = {}
-    gvcf_rows_by_contig: dict = {} if call_cfg.gvcf else None
+    gvcf_enabled = bool(call_cfg.gvcf)
+    # non-variant blocks keyed per chunk so chunk-granular manifests and
+    # out-of-order restores keep genomic order (flattened by gvcf_rows_for)
+    gvcf_by_chunk: dict = {}
 
-    # opt-in fused TPU-resident path (ops/fused_pileup): the whole chunk --
-    # device CIGAR expansion, candidate mask, window gather, network,
-    # prescreen -- runs in ONE jit over staged packed-read arrays.
-    # Renorm-depth and splice-trigger candidates are rebuilt individually
-    # host-side (the hatch, FusedChunkCaller._hatch_records); only overflow
-    # or hatch-budget-exceeding chunks fall back wholesale. Remaining gates:
-    # GVCF runs (which need every covered site's depth host-side anyway)
-    # and --debug.
+    def gvcf_rows_for(ctg):
+        rows = []
+        for key in sorted((k for k in gvcf_by_chunk if k[0] == ctg),
+                          key=lambda k: k[1]):
+            rows.extend(gvcf_by_chunk[key])
+        return rows
+
+    # fused TPU-resident path (ops/fused_pileup): the whole chunk -- device
+    # CIGAR expansion, candidate mask, window gather, network, prescreen --
+    # runs in ONE jit over staged packed-read arrays. Renorm-depth
+    # candidates re-read their windows from the staged device image for the
+    # host float64 scale (FusedChunkCaller._renorm_records); isolated
+    # splice-trigger candidates rebuild host-side (_hatch_records); only
+    # overflow / clustered-trigger chunks fall back wholesale. Selected by
+    # --pileup_backend auto|host|fused (caller/backend.py probes the link
+    # for "auto"). Remaining gates: GVCF runs (which need every covered
+    # site's depth host-side anyway) and --debug.
+    from clair3_rna_tpu.caller.backend import resolve_backend
+    backend = resolve_backend(pileup_backend)
     fused_caller = None
-    if (os.environ.get("CLAIR3_RNA_TPU_PILEUP_BACKEND") == "fused"
-            and not call_cfg.gvcf
+    if (backend == "fused" and not call_cfg.gvcf
             and not call_cfg.debug and params is not None):
         from clair3_rna_tpu.ops.fused_pileup import FusedChunkCaller
         fused_caller = FusedChunkCaller(
@@ -372,15 +389,12 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                                        cand_allow=cand_allow,
                                        host_ctx=host_ctx)
 
-    fused_fallbacks = [0]  # whole-chunk host fallbacks (list: thread-shared)
-
     def build_one(task):
         t0 = time.time()
         if fused_caller is not None:
             fused_out = fused_one(task)
             if fused_out is not None:
                 return ("rows",) + fused_out, time.time() - t0
-            fused_fallbacks[0] += 1
         out = build_chunk_tensors(
             bam, fasta, task, cfg,
             known_positions=known_vcf_positions.get(task.ctg_name)
@@ -429,6 +443,9 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     def manifest_path(ctg):
         return os.path.join(manifest_dir, f"{ctg}.done.json")
 
+    def chunks_path(ctg):
+        return os.path.join(manifest_dir, f"{ctg}.chunks.jsonl")
+
     def load_manifest(ctg):
         try:
             with open(manifest_path(ctg)) as f:
@@ -438,12 +455,78 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
 
     def save_manifest(ctg):
         payload = {"rows": rows_by_contig.get(ctg, [])}
-        if gvcf_rows_by_contig is not None:
-            payload["gvcf"] = gvcf_rows_by_contig.get(ctg, [])
+        if gvcf_enabled:
+            payload["gvcf"] = gvcf_rows_for(ctg)
         tmp = manifest_path(ctg) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, manifest_path(ctg))  # idempotent atomic publish
+        pending_manifest.pop(ctg, None)
+        try:  # the contig-level manifest supersedes the per-chunk lines
+            os.remove(chunks_path(ctg))
+        except OSError:
+            pass
+
+    def load_chunk_manifest(ctg):
+        """{(start, end): payload} from the per-chunk line file; tolerates a
+        torn trailing line (crash mid-append) and duplicate lines from
+        repeated crash/resume cycles (first complete line wins)."""
+        entries = {}
+        try:
+            with open(chunks_path(ctg)) as f:
+                for line in f:
+                    if not line.endswith("\n"):
+                        break  # torn tail from a kill mid-write
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        break
+                    entries.setdefault((rec["start"], rec["end"]), rec)
+        except OSError:
+            pass
+        return entries
+
+    def append_chunk_manifest(ctg, start, end, rows, gvcf_rows):
+        rec = {"start": start, "end": end, "rows": rows}
+        if gvcf_enabled:
+            rec["gvcf"] = gvcf_rows or []
+        with open(chunks_path(ctg), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    # chunk-manifest bookkeeping: a chunk's line is appended once every one
+    # of its candidates has drained from the cross-chunk inference queue.
+    # Built chunks enter pending_manifest in build (= genomic) order; the
+    # drain frontier is the smallest still-undecoded candidate position per
+    # contig, so a chunk is complete exactly when the frontier passes its
+    # end (rows are then attributed back to chunks by position).
+    pending_manifest: dict = {}  # ctg -> deque[(start, end)]
+
+    def note_built(task):
+        if manifest_dir:
+            pending_manifest.setdefault(task.ctg_name, deque()).append(
+                (task.start, task.end))
+
+    def flush_chunk_manifests(final=False):
+        if not manifest_dir:
+            return
+        frontier: dict = {}
+        if not final:
+            pending_records = list(queue_records)
+            for handle in in_flight:
+                if handle is not None:
+                    pending_records.extend(handle[0])
+            for rec in pending_records:
+                p0 = rec.position - 1
+                if p0 < frontier.get(rec.ctg_name, 1 << 62):
+                    frontier[rec.ctg_name] = p0
+        for ctg, dq in pending_manifest.items():
+            fr = frontier.get(ctg)
+            while dq and (fr is None or dq[0][1] <= fr):
+                s, e = dq.popleft()
+                rows = [r for r in rows_by_contig.get(ctg, [])
+                        if s <= int(r.split("\t", 2)[1]) - 1 < e]
+                append_chunk_manifest(ctg, s, e, rows,
+                                      gvcf_by_chunk.get((ctg, s)))
 
     if manifest_dir:
         os.makedirs(manifest_dir, exist_ok=True)
@@ -452,10 +535,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             for ctg in {t.ctg_name for t in tasks}:
                 payload = load_manifest(ctg)
                 if payload is not None and (
-                        gvcf_rows_by_contig is None or "gvcf" in payload):
+                        not gvcf_enabled or "gvcf" in payload):
                     rows_by_contig[ctg] = payload["rows"]
-                    if gvcf_rows_by_contig is not None:
-                        gvcf_rows_by_contig[ctg] = payload["gvcf"]
+                    if gvcf_enabled:
+                        gvcf_by_chunk[(ctg, -1)] = payload["gvcf"]
                     stats.rows += len(payload["rows"])
                     skip_ctgs.add(ctg)
                     if progress:
@@ -463,6 +546,41 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                                     "manifest (%d rows)", ctg,
                                     len(payload["rows"]))
             tasks = [t for t in tasks if t.ctg_name not in skip_ctgs]
+            # chunk-granular restore for contigs that did not finish
+            done_chunks = set()
+            for ctg in sorted({t.ctg_name for t in tasks}):
+                entries = load_chunk_manifest(ctg)
+                if gvcf_enabled:
+                    entries = {k: rec for k, rec in entries.items()
+                               if "gvcf" in rec}
+                if not entries:
+                    continue
+                for (s, e), rec in sorted(entries.items()):
+                    rows_by_contig.setdefault(ctg, []).extend(rec["rows"])
+                    if gvcf_enabled:
+                        gvcf_by_chunk[(ctg, s)] = rec.get("gvcf", [])
+                    stats.rows += len(rec["rows"])
+                    done_chunks.add((ctg, s, e))
+                # rewrite compacted (dedup + torn tail dropped), atomically
+                tmp = chunks_path(ctg) + ".tmp"
+                with open(tmp, "w") as f:
+                    for (_s, _e), rec in sorted(entries.items()):
+                        f.write(json.dumps(rec) + "\n")
+                os.replace(tmp, chunks_path(ctg))
+                if progress:
+                    logger.info("[INFO] resume: contig %s restored %d "
+                                "finished chunk(s) from the chunk manifest",
+                                ctg, len(entries))
+            tasks = [t for t in tasks
+                     if (t.ctg_name, t.start, t.end) not in done_chunks]
+        else:
+            # fresh run: stale chunk lines from an earlier attempt must not
+            # survive into this run's append-only files
+            for ctg in {t.ctg_name for t in tasks}:
+                try:
+                    os.remove(chunks_path(ctg))
+                except OSError:
+                    pass
 
     joblog_f = None
     if joblog:
@@ -497,17 +615,19 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 for row in fused_rows:
                     rows_by_contig.setdefault(
                         row.split("\t", 1)[0], []).append(row)
+                note_built(task)
                 contig_done = (i + 1 == len(tasks)
                                or tasks[i + 1].ctg_name != task.ctg_name)
                 pump(force=manifest_dir is not None and contig_done)
                 if manifest_dir and contig_done:
                     save_manifest(task.ctg_name)
+                flush_chunk_manifests()
                 if progress:
                     logger.info("chunk %s:%d-%d: %d candidates (fused)",
                                 task.ctg_name, task.start, task.end, n_fused)
                 continue
             records, feat, ref_seq, ref_lo = built[1]
-            if call_cfg.gvcf:
+            if gvcf_enabled:
                 from clair3_rna_tpu.gvcf import NonVariantAccumulator
                 from clair3_rna_tpu.pileup.chunk import gvcf_site_arrays
                 acc = NonVariantAccumulator(
@@ -522,15 +642,16 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                     positions, refs, n_total, n_ref = sites
                     acc.push_array(task.ctg_name, positions, refs, n_total,
                                    n_ref)
-                gvcf_rows_by_contig.setdefault(task.ctg_name, []).extend(
-                    acc.finish())
+                gvcf_by_chunk[(task.ctg_name, task.start)] = acc.finish()
             queue_records.extend(records)
             log_chunk(task, len(records), dt)
+            note_built(task)
             contig_done = (i + 1 == len(tasks)
                            or tasks[i + 1].ctg_name != task.ctg_name)
             pump(force=manifest_dir is not None and contig_done)
             if manifest_dir and contig_done:
                 save_manifest(task.ctg_name)
+            flush_chunk_manifests()
             if progress:
                 logger.info("chunk %s:%d-%d: %d candidates",
                             task.ctg_name, task.start, task.end, len(records))
@@ -552,7 +673,9 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         sample_name=sample_name or cfg.sample_name,
         cmd_line=cmd_line, compress=False)
 
-    if call_cfg.gvcf:
+    if gvcf_enabled:
+        gvcf_rows_by_contig = {ctg: gvcf_rows_for(ctg)
+                               for ctg in {k[0] for k in gvcf_by_chunk}}
         outputs.append(_write_gvcf(output_path, outputs[0], gvcf_rows_by_contig,
                                    fasta, ref_path,
                                    sample_name or cfg.sample_name))
@@ -567,8 +690,11 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             stats.build_s, stats.infer_s, stats.decode_s)
         if fused_caller is not None:
             logger.info(
-                "fused path: %d hatched candidates over %d chunks, "
-                "%d budget retries, %d whole-chunk host fallbacks",
+                "fused path: %d renormalized candidates over %d chunks "
+                "(device-window fetch), %d splice-hatched candidates over "
+                "%d chunks, %d budget retries, %d whole-chunk host "
+                "fallbacks",
+                fused_caller.renorm_candidates, fused_caller.renorm_chunks,
                 fused_caller.hatch_candidates, fused_caller.hatch_chunks,
-                fused_caller.overflow_retries, fused_fallbacks[0])
+                fused_caller.overflow_retries, fused_caller.fallback_chunks)
     return outputs, stats

@@ -21,13 +21,27 @@ Exactness strategy (VCF-identical to the host path):
   tie-break;
 - BED restriction, known-site (-G) candidates, and head/tail mode run
   natively in the jit (mask inputs + run-extent rules; see make_fused_fn's
-  feature flags); candidates that need the high-coverage renormalization
-  (depth > 1.5*max_depth, float64 division on the host path) or that could
-  trigger the splice-padding backfill are flagged (`host_flags` in the
-  outputs) and rebuilt individually on the host as 1-position mini chunks
-  (FusedChunkCaller._hatch_records) while the rest of the chunk stays
-  fused; only candidate/rank overflow, depths beyond the AF-threshold
-  table, or a flagged count exceeding hatch_max fall back per chunk.
+  feature flags);
+- candidates that need the high-coverage renormalization (depth >
+  1.5*max_depth) are flagged (`host_flags` bit 1): their RAW count windows
+  are fetched from the already-staged device image by a second lightweight
+  jit (the same fused fn called with `sel`) and the reference's float64
+  scale-then-truncate (clair3_rna/utils.py:88-92) is applied on the host —
+  numpy float64 division is not reproducible in on-device f32/int math at
+  integer-quotient boundary cases, and it costs nothing on the host — then
+  the windows ride the SAME wire-forward jit the host path uses, so deep
+  chunks (RNA's high-expression regime) stay on the TPU path end to end
+  with bit-identical output (FusedChunkCaller._renorm_records);
+- candidates that could trigger the splice-padding backfill are flagged
+  (bit 2) and rebuilt on the host as 1-position mini chunks
+  (FusedChunkCaller._hatch_records) — sound only when the flagged
+  candidate is ISOLATED (no other candidate within 2*FLANK), because the
+  host builder's backfill mutates the shared image in place and serializes
+  exactly those neighbors (pileup/builder.py:537-622); clustered triggers
+  fall back per chunk;
+- only candidate/rank overflow, depths beyond the AF-threshold table,
+  clustered splice triggers, or a splice-flag count exceeding hatch_max
+  fall back per chunk.
 
 Two wire formats feed the fused jit:
 
@@ -56,10 +70,12 @@ from clair3_rna_tpu.ops import tilelet as tlt
 
 FLANK = config.FLANKING_BASE_NUM
 WINDOW = config.NO_OF_POSITIONS
-N_CH = config.CHANNEL_SIZE  # 18 (the fused path is unphased-only for now)
+N_CH = config.CHANNEL_SIZE  # 18 unphased; phased mode (30ch) rides
+                            # cfg.channel_size inside make_fused_fn
 GROUP_NONE = 6              # star placeholders count depth but no group
-D_TABLE = 4096              # static AF-threshold table size; depths beyond
-                            # it imply renorm (depth > 216) -> host fallback
+D_TABLE = 4096              # static AF-threshold table size; candidates at
+                            # depths beyond it fall back (clamped thresholds
+                            # would be lenient -> candidacy itself unsound)
 
 
 def _af_thresholds(af, max_depth=D_TABLE - 1):
@@ -444,9 +460,11 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
       (run_clair3_rna:268-296 + src/create_tensor_pileup.py:551-554).
     - cfg.enable_splice_padding: candidates whose 33-window splice-skip
       statistics could trigger the reference's backfill
-      (src/create_tensor_pileup.py:573-593) are flagged in host_flags and
-      rebuilt host-side per candidate (the hatch); non-triggering
-      candidates stay fused and identical.
+      (src/create_tensor_pileup.py:573-593) are flagged in host_flags;
+      ISOLATED flagged candidates are rebuilt host-side per candidate (the
+      hatch), clustered ones whole-chunk fall back (the backfill mutates
+      the shared image in place, so neighbors within 2*FLANK are coupled);
+      non-triggering candidates stay fused and identical.
     - cfg.enable_head_tail: run-tail candidates kept and window slots
       outside the candidate's covered run zeroed
       (src/create_tensor_pileup.py:614-637).
@@ -477,9 +495,15 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
 
     def _tail(counts, grank6, cover_pos, cover_delta, i1_pos, i1_vals,
               ref_code, thr_snp, thr_indel, cover_allow, cand_allow,
-              max_skip, core):
+              max_skip, core, sel=None):
         """Steps 3-8, shared by both wire formats: i1 patch, features,
-        candidate mask, window gather, network, prescreen."""
+        candidate mask, window gather, network, prescreen.
+
+        With `sel` (an int32 array of window-center offsets, pads = W) the
+        mask/network stages are skipped and the RAW negated count windows at
+        those centers are returned instead — the renorm fetch path
+        (FusedChunkCaller._renorm_records) re-reads the staged image for
+        flagged candidates so the host can apply the float64 scale."""
         W = ref_code.shape[0]
         counts = counts.at[i1_pos, :].add(
             jnp.zeros((i1_pos.shape[0], n_ch), counts.dtype)
@@ -487,78 +511,84 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
             .at[:, CI["i1"]].set(i1_vals[:, 1])
             .at[:, CI["D1"]].set(i1_vals[:, 2])
             .at[:, CI["d1"]].set(i1_vals[:, 3]))
+        eff = jnp.maximum(ref_code, 0).astype(jnp.int32)
+        pos_iota = jnp.arange(W, dtype=jnp.int32)
 
-        gcount = jnp.stack([
-            counts[:, 0] + counts[:, 9], counts[:, 1] + counts[:, 10],
-            counts[:, 2] + counts[:, 11], counts[:, 3] + counts[:, 12],
-            counts[:, CI["I"]] + counts[:, CI["i"]],
-            counts[:, CI["D"]] + counts[:, CI["d"]],
-        ], axis=1)                                            # [W, 6]
-        grank = jnp.where(gcount > 0, grank6, RANK_INF)
-
-        # 3. coverage / depth / derived features (finalize_features mirror)
+        # 3. coverage + covered-run extents (finalize_features/compute_runs
+        # mirror; runs feed both the eligibility rule and head/tail zeroing)
         cover = jnp.cumsum(jax.ops.segment_sum(
             cover_delta, cover_pos, num_segments=W))
         covered = cover > 0
         if with_masks:  # bed +-33 clips coverage (and so run extents)
             covered &= cover_allow != 0
-        star_total = counts[:, CI["*"]] + counts[:, CI["#"]]
-        base_total = gcount[:, :4].sum(axis=1)
-        depth = base_total + star_total
-        ins_total, del_total = gcount[:, 4], gcount[:, 5]
-        eff = jnp.maximum(ref_code, 0).astype(jnp.int32)
-        ref_base_count = jnp.take_along_axis(gcount[:, :4], eff[:, None],
-                                             axis=1)[:, 0]
-        alt_count = base_total - ref_base_count
-        ref_count = jnp.maximum(
-            0, depth - (del_total + star_total) - ins_total - alt_count)
-
-        # 4. candidate mask (candidate_mask_from mirror, integer-exact)
-        if known_only:
-            # -G genotyping: candidates are exactly the known-site positions
-            mask = covered & (cand_allow != 0)
-        else:
-            dcl = jnp.minimum(depth, thr_snp.shape[0] - 1)
-            non_ref = gcount[:, :4].at[jnp.arange(W), eff].set(0)
-            snp_ok = non_ref >= thr_snp[dcl][:, None]
-            if fast:
-                snp_ok &= non_ref >= 4
-            pass_snp = snp_ok.any(axis=1)
-            ti = thr_indel[dcl]
-            pass_indel = (ins_total >= ti) | (del_total >= ti)
-            max_gc = gcount.max(axis=1)
-            rank_if_top = jnp.where(gcount == max_gc[:, None], grank,
-                                    RANK_INF)
-            top_group = jnp.argmin(rank_if_top, axis=1)
-            pass_top = (max_gc > 0) & (top_group != eff)
-            pass_af = pass_snp if snp_only \
-                else (pass_top | pass_snp | pass_indel)
-            if af_zero:
-                pass_af |= depth > 0
-            mask = covered & (ref_code >= 0) & pass_af & (depth >= min_cov)
-            if with_masks:  # bed vs candidate deletion span
-                mask &= cand_allow != 0
-
-        # 5. full-window eligibility from covered-run extents (compute_runs)
-        pos_iota = jnp.arange(W, dtype=jnp.int32)
         run_start = jax.lax.cummax(jnp.where(
             covered & jnp.concatenate([jnp.array([True]), ~covered[:-1]]),
             pos_iota, -1))
         run_end = -jax.lax.cummax(jnp.where(
             covered & jnp.concatenate([~covered[1:], jnp.array([True])]),
             -pos_iota, -(W + 1))[::-1])[::-1]
-        if head_tail:
-            # run-tail candidates stay; their windows zero outside the run
-            # (the reference's trailing flush, create_tensor_pileup:614-637)
-            last_covered = jnp.max(jnp.where(covered, pos_iota, -1))
-            kept = (run_end >= pos_iota + FLANK) | (run_end == last_covered)
-        else:
-            kept = ((run_start <= pos_iota - FLANK)
-                    & (run_end >= pos_iota + FLANK))
-        mask &= kept & (pos_iota >= core[0]) & (pos_iota < core[1])
 
-        n_cand = mask.sum()
-        cand = jnp.nonzero(mask, size=max_candidates, fill_value=W)[0]
+        if sel is None:
+            gcount = jnp.stack([
+                counts[:, 0] + counts[:, 9], counts[:, 1] + counts[:, 10],
+                counts[:, 2] + counts[:, 11], counts[:, 3] + counts[:, 12],
+                counts[:, CI["I"]] + counts[:, CI["i"]],
+                counts[:, CI["D"]] + counts[:, CI["d"]],
+            ], axis=1)                                        # [W, 6]
+            grank = jnp.where(gcount > 0, grank6, RANK_INF)
+            star_total = counts[:, CI["*"]] + counts[:, CI["#"]]
+            base_total = gcount[:, :4].sum(axis=1)
+            depth = base_total + star_total
+            ins_total, del_total = gcount[:, 4], gcount[:, 5]
+            ref_base_count = jnp.take_along_axis(gcount[:, :4], eff[:, None],
+                                                 axis=1)[:, 0]
+            alt_count = base_total - ref_base_count
+            ref_count = jnp.maximum(
+                0, depth - (del_total + star_total) - ins_total - alt_count)
+
+            # 4. candidate mask (candidate_mask_from mirror, integer-exact)
+            if known_only:
+                # -G genotyping: candidates are exactly the known positions
+                mask = covered & (cand_allow != 0)
+            else:
+                dcl = jnp.minimum(depth, thr_snp.shape[0] - 1)
+                non_ref = gcount[:, :4].at[jnp.arange(W), eff].set(0)
+                snp_ok = non_ref >= thr_snp[dcl][:, None]
+                if fast:
+                    snp_ok &= non_ref >= 4
+                pass_snp = snp_ok.any(axis=1)
+                ti = thr_indel[dcl]
+                pass_indel = (ins_total >= ti) | (del_total >= ti)
+                max_gc = gcount.max(axis=1)
+                rank_if_top = jnp.where(gcount == max_gc[:, None], grank,
+                                        RANK_INF)
+                top_group = jnp.argmin(rank_if_top, axis=1)
+                pass_top = (max_gc > 0) & (top_group != eff)
+                pass_af = pass_snp if snp_only \
+                    else (pass_top | pass_snp | pass_indel)
+                if af_zero:
+                    pass_af |= depth > 0
+                mask = covered & (ref_code >= 0) & pass_af \
+                    & (depth >= min_cov)
+                if with_masks:  # bed vs candidate deletion span
+                    mask &= cand_allow != 0
+
+            # 5. full-window eligibility from covered-run extents
+            if head_tail:
+                # run-tail candidates stay; their windows zero outside the
+                # run (the trailing flush, create_tensor_pileup:614-637)
+                last_covered = jnp.max(jnp.where(covered, pos_iota, -1))
+                kept = ((run_end >= pos_iota + FLANK)
+                        | (run_end == last_covered))
+            else:
+                kept = ((run_start <= pos_iota - FLANK)
+                        & (run_end >= pos_iota + FLANK))
+            mask &= kept & (pos_iota >= core[0]) & (pos_iota < core[1])
+
+            n_cand = mask.sum()
+            cand = jnp.nonzero(mask, size=max_candidates, fill_value=W)[0]
+        else:
+            cand = sel
 
         # 6. ref-channel negation (negated_counts mirror)
         ch_iota = jnp.arange(n_ch, dtype=jnp.int32)[None, :]
@@ -578,6 +608,10 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                       & (win_pos <= run_end[cc0][:, None]))
         wp = jnp.clip(win_pos, 0, W - 1)
         windows = jnp.where(valid[:, :, None], image[wp], 0)
+        if sel is not None:
+            # windows-fetch mode: raw integer windows, exact in f32
+            # (|values| < 2^24), for the host-side float64 renormalization
+            return windows.astype(jnp.float32)
 
         # 8. network + homRef prescreen (wire-forward mirror)
         probs = model.apply({"params": params},
@@ -657,7 +691,8 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         def fused(ev_pos, ev_chan, ev_group, ev_rank, ev_weight, visit_tiles,
                   visit_blocks, visit_firsts, visit_lasts, visit_valid,
                   cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
-                  thr_indel, cover_allow, cand_allow, max_skip, core):
+                  thr_indel, cover_allow, cand_allow, max_skip, core,
+                  sel=None):
             W = ref_code.shape[0]
             # 1+2. channel count image + first-occurrence group ranks (exact
             # integer reductions; pads sit at position W, inert either way)
@@ -682,14 +717,15 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                 grank6 = ranks_f[:6, :].T.astype(jnp.int32)
             return _tail(counts, grank6, cover_pos, cover_delta, i1_pos,
                          i1_vals, ref_code, thr_snp, thr_indel, cover_allow,
-                         cand_allow, max_skip, core)
+                         cand_allow, max_skip, core, sel=sel)
     else:
         @jax.jit
         def fused(tl_codes, tl_tile, tl_rank, tl_strand, tl_hp, visit_tiles,
                   visit_blocks, visit_firsts, visit_lasts, visit_valid,
                   sp_pos, sp_chan, sp_group, sp_rank, sp_weight,
                   cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
-                  thr_indel, cover_allow, cand_allow, max_skip, core):
+                  thr_indel, cover_allow, cand_allow, max_skip, core,
+                  sel=None):
             W = ref_code.shape[0]
             # 1+2a. base channels + base group ranks from the tilelet rows
             # (device-side CIGAR expansion)
@@ -719,7 +755,7 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
             grank6 = jnp.minimum(grank6, sp_grank)
             return _tail(counts, grank6, cover_pos, cover_delta, i1_pos,
                          i1_vals, ref_code, thr_snp, thr_indel, cover_allow,
-                         cand_allow, max_skip, core)
+                         cand_allow, max_skip, core, sel=sel)
 
     return fused
 
@@ -819,22 +855,36 @@ def resolve_scatter(default_backend=None):
 class FusedChunkCaller:
     """Chunk-level driver around the fused jit: stage -> device -> rows.
 
-    Candidates the jit cannot finish exactly (renormalization depth, the
-    splice-padding trigger superset) are flagged in host_flags and, when the
-    caller provides a host context, rebuilt individually on the host as
-    1-position mini chunks through the proven host builder + wire-forward
-    machinery (the "hatch") -- the rest of the chunk stays fused. Chunks
-    whose candidate count exceeds the padded budget are retried with a
-    doubled budget (each budget compiles once) up to max_budget. call_chunk
-    returns None only for whole-chunk fallbacks: candidates beyond
-    max_budget, rank overflow, depth beyond the AF-threshold table, more
-    than hatch_max flagged candidates (a targeted rebuild would cost more
-    than one chunk build), or flagged candidates with no host context.
+    Candidates the jit cannot finish exactly are flagged in host_flags:
+
+    - renormalization depth (bit 1): the staged device image is re-read at
+      those centers by a windows-fetch call (`_renorm_records`), the
+      reference's float64 scale-then-truncate is applied on the host, and
+      the windows ride the host wire-forward jit -- so uniformly-deep
+      chunks (RNA's high-expression regime) stay fused;
+    - splice-padding trigger superset (bit 2): ISOLATED flagged candidates
+      (no other candidate within 2*FLANK) are rebuilt on the host as
+      1-position mini chunks (`_hatch_records`); clustered ones force a
+      whole-chunk fallback because the host backfill mutates the shared
+      image in place across neighboring windows.
+
+    Chunks whose candidate count exceeds the padded budget retry once at
+    the smallest power-of-two budget that fits (each budget compiles once)
+    up to max_budget. call_chunk returns None only for whole-chunk
+    fallbacks: candidates beyond max_budget, rank overflow, depth beyond
+    the AF-threshold table, clustered splice triggers, more than hatch_max
+    splice-flagged candidates, or flagged candidates with no host context.
+
+    Thread-safe: the pipeline's prefetch pool calls call_chunk from
+    multiple threads, so the telemetry counters and the jit caches are
+    guarded by a lock (JAX itself is safe for concurrent dispatch).
     """
 
     def __init__(self, params, cfg: PileupConfig, call_cfg,
                  max_candidates=1024, scatter=None, mode=None,
                  known_only=False, with_masks=False):
+        import threading
+
         # the padded candidate budget is the network's per-chunk batch: an
         # oversized budget burns device time on padding rows (the network,
         # not the count scatter, dominates the fused jit), and overflowing
@@ -846,41 +896,71 @@ class FusedChunkCaller:
         self.max_candidates = max_candidates
         self.hatch_max = int(os.environ.get(
             "CLAIR3_RNA_TPU_FUSED_HATCH_MAX", "64"))
-        self.hatch_chunks = 0      # chunks that used the per-candidate hatch
+        self.hatch_chunks = 0      # chunks that used the splice hatch
         self.hatch_candidates = 0  # candidates rebuilt host-side via hatch
+        self.renorm_chunks = 0     # chunks with device-window renorm cands
+        self.renorm_candidates = 0  # candidates renormalized via the fetch
+        self.fallback_chunks = 0   # whole-chunk host fallbacks
         self.max_budget = int(os.environ.get(
             "CLAIR3_RNA_TPU_FUSED_MAX_BUDGET", "4096"))
-        self._renorm_depth = config.MAX_DEPTH_BY_PLATFORM.get(
-            cfg.platform, config.MAX_DEPTH) * 1.5
-        self.overflow_retries = 0   # chunks rerun with a doubled budget
+        self.overflow_retries = 0   # chunks rerun with a widened budget
         self.scatter = resolve_scatter() if scatter is None else scatter
         self.mode = resolve_mode() if mode is None else mode
         self.known_only = known_only
         self.with_masks = with_masks
+        self._lock = threading.Lock()
         self._fused_by_budget = {}
         self.fused = self._get_fused(max_candidates)
         self._blob_fns = {}  # (layout, budget) -> jitted blob entry
+        self._win_fns = {}   # layout -> jitted windows-fetch blob entry
+
+    def _count(self, name, delta=1):
+        with self._lock:
+            setattr(self, name, getattr(self, name) + delta)
+
+    def _fallback(self):
+        """Record and request a whole-chunk host fallback."""
+        self._count("fallback_chunks")
+        return None
 
     def _get_fused(self, budget):
-        fn = self._fused_by_budget.get(budget)
-        if fn is None:
-            fn = make_fused_fn(self.params, self.cfg, max_candidates=budget,
-                               add_indel_length=self.call_cfg.add_indel_length,
-                               scatter=self.scatter, mode=self.mode,
-                               known_only=self.known_only,
-                               with_masks=self.with_masks)
-            self._fused_by_budget[budget] = fn
+        with self._lock:
+            fn = self._fused_by_budget.get(budget)
+            if fn is None:
+                fn = make_fused_fn(
+                    self.params, self.cfg, max_candidates=budget,
+                    add_indel_length=self.call_cfg.add_indel_length,
+                    scatter=self.scatter, mode=self.mode,
+                    known_only=self.known_only, with_masks=self.with_masks)
+                self._fused_by_budget[budget] = fn
         return fn
 
     def _blob_fn(self, layout, budget=None):
         budget = self.max_candidates if budget is None else budget
         key = (layout, budget)
-        fn = self._blob_fns.get(key)
+        with self._lock:
+            fn = self._blob_fns.get(key)
         if fn is None:
             import jax
             fused = self._get_fused(budget)
             fn = jax.jit(lambda blob, _l=layout: fused(*unpack_wire(blob, _l)))
-            self._blob_fns[key] = fn
+            with self._lock:
+                self._blob_fns[key] = fn
+        return fn
+
+    def _win_fn(self, layout):
+        """Windows-fetch entry over the same staged blob: re-reads the count
+        image and returns raw negated windows at given centers (the sel
+        shape buckets its own compilations)."""
+        with self._lock:
+            fn = self._win_fns.get(layout)
+        if fn is None:
+            import jax
+            fused = self._get_fused(self.max_candidates)
+            fn = jax.jit(lambda blob, sel, _l=layout: fused(
+                *unpack_wire(blob, _l), sel=sel))
+            with self._lock:
+                self._win_fns[layout] = fn
         return fn
 
     def call_chunk(self, data, ref_codes, ctg_name, ref_seq, ref_lo,
@@ -890,35 +970,24 @@ class FusedChunkCaller:
 
         `data` is a PackedReads (mode="packed") or PileupEvents
         (mode="events"). Returns (vcf_rows, n_candidates) or None for host
-        fallback. `host_ctx` enables the per-candidate hatch: a dict with
-        "bam", "fasta", "forward" (the pipeline's wire-forward jit, so hatch
-        probabilities are bit-identical to host-path probabilities) and
-        optionally "known_positions"/"bed_regions" for the mini builds."""
+        fallback. `host_ctx` enables the per-candidate escape paths: a dict
+        with "bam", "fasta", "forward" (the pipeline's wire-forward jit, so
+        escape-path probabilities are bit-identical to host-path
+        probabilities) and optionally "known_positions"/"bed_regions" for
+        the splice-hatch mini builds."""
         import numpy as np
 
         from clair3_rna_tpu.caller.decode import decode_batch
         from clair3_rna_tpu.pileup.builder import (SparseIndels,
                                                    _alt_data_fast)
 
-        # perf precheck (correctness-neutral: the host path is always
-        # exact): a chunk whose covered positions are MOSTLY renorm-deep --
-        # the uniformly high-expression regime -- will flag more candidates
-        # than hatch_max with near-certainty, so skip the staging sort and
-        # the device pass and go straight to the host path. Mixed chunks (a
-        # deep transcript on a normal background) still run fused, with the
-        # hatch covering their flagged minority.
-        cover = data.cover_count
-        covered_depths = cover[cover > 0]
-        if covered_depths.size and 2 * int(np.count_nonzero(
-                covered_depths > self._renorm_depth)) > covered_depths.size:
-            return None
-
         if self.mode == "packed":
             if not hasattr(data, "tl_codes"):  # PileupEvents given: convert
                 from clair3_rna_tpu.pileup.packed import packed_from_events
                 data = packed_from_events(data)
             if data.max_rank >= tlt.MAX_RANK:
-                return None  # rank exceeds exact-f32 range: host path handles
+                # rank exceeds exact-f32 range: host path handles
+                return self._fallback()
             staged = stage_chunk_packed(data, ref_codes, self.cfg, core_lo,
                                         core_hi, scatter=self.scatter,
                                         cover_allow=cover_allow,
@@ -932,7 +1001,7 @@ class FusedChunkCaller:
                                                  events.del_rank) if len(a)),
                            default=0)
             if self.scatter != "xla" and max_rank >= fsc.MAX_RANK:
-                return None
+                return self._fallback()
             staged = stage_chunk(events, ref_codes, self.cfg, core_lo,
                                  core_hi, scatter=self.scatter,
                                  cover_allow=cover_allow,
@@ -942,20 +1011,22 @@ class FusedChunkCaller:
         blob, layout = pack_wire(args)
         # ONE device transfer (blob) and ONE device fetch (packed output)
         import jax
-        blob_dev = jax.device_put(blob)  # reusable if an overflow retries
+        blob_dev = jax.device_put(blob)  # reused by retries + window fetch
         packed_out = np.asarray(self._blob_fn(layout)(blob_dev))
         n = int(packed_out[0, 0])
-        budget = self.max_candidates
-        while n > budget:
-            # dense-candidate chunk: retry the SAME staged blob with a
-            # doubled candidate budget (mask and counts are budget-
-            # independent, only the padded gather widens)
-            budget *= 2
-            if budget > self.max_budget:
-                return None  # beyond the budget ladder: host path
-            self.overflow_retries += 1
+        if n > self.max_candidates:
+            # dense-candidate chunk: n is known from the header, so retry
+            # the SAME staged blob ONCE at the smallest power-of-two budget
+            # that fits (mask and counts are budget-independent, only the
+            # padded gather widens); beyond max_budget the host path is
+            # cheaper than the widened network pass
+            if n > self.max_budget:
+                return self._fallback()
+            budget = self.max_candidates
+            while budget < n:
+                budget *= 2
+            self._count("overflow_retries")
             packed_out = np.asarray(self._blob_fn(layout, budget)(blob_dev))
-            n = int(packed_out[0, 0])
         body = packed_out[1:]
         P = body.shape[1] - 12
         cand = body[:, 0].astype(np.int64)
@@ -970,22 +1041,10 @@ class FusedChunkCaller:
         probs, needs_decode = out[:n, :-1], out[:n, -1] != 0.0
         if self.call_cfg.show_ref:
             needs_decode = np.ones(n, dtype=bool)
-        host_rows = []
-        flagged = np.nonzero(flags)[0]
-        if len(flagged):
-            recs = self._hatch_records(host_ctx, ctg_name, cand, flags,
-                                       flagged, staged.start)
-            if recs is None:
-                return None  # whole-chunk host fallback
-            from clair3_rna_tpu.caller.pipeline import call_tensor_records
-            host_rows = call_tensor_records(recs, host_ctx["forward"],
-                                            self.params, self.cfg,
-                                            self.call_cfg)
-            needs_decode = needs_decode.copy()
-            needs_decode[flagged] = False  # handled by the hatch
-            self.hatch_chunks += 1
-            self.hatch_candidates += len(flagged)
-        sel = np.nonzero(needs_decode)[0]
+        if (flags >= 4).any():
+            # depth beyond the AF-threshold table: candidacy itself unsound
+            return self._fallback()
+
         pos_abs = cand.astype(np.int64) + staged.start
         ins_lo = np.searchsorted(indels.ins_pos, pos_abs, side="left")
         ins_hi = np.searchsorted(indels.ins_pos, pos_abs, side="right")
@@ -993,43 +1052,83 @@ class FusedChunkCaller:
         del_hi = np.searchsorted(indels.del_pos, pos_abs, side="right")
         eff = np.maximum(staged.ref_code[cand], 0)
 
-        alt_data = [
-            _alt_data_fast(indels, int(pos_abs[i]), int(depth_c[i]),
-                           int(eff[i]), gcounts[i].tolist(),
-                           granks[i].tolist(), int(ref_count[i]),
-                           int(ins_lo[i]), int(ins_hi[i]), int(del_lo[i]),
-                           int(del_hi[i]), ref_seq, ref_lo)
-            for i in sel]
+        def _alt(i):
+            return _alt_data_fast(
+                indels, int(pos_abs[i]), int(depth_c[i]), int(eff[i]),
+                gcounts[i].tolist(), granks[i].tolist(), int(ref_count[i]),
+                int(ins_lo[i]), int(ins_hi[i]), int(del_lo[i]),
+                int(del_hi[i]), ref_seq, ref_lo)
+
+        host_rows = []
+        splice_idx = np.nonzero((flags & 2) != 0)[0]
+        if len(splice_idx):
+            if host_ctx is None or len(splice_idx) > self.hatch_max:
+                return self._fallback()
+            # the host backfill mutates the shared image across +-FLANK, so
+            # the 1-position mini rebuild is exact only for flagged
+            # candidates with no other candidate within 2*FLANK; clustered
+            # triggers (and their coupled neighbors) need the full host
+            # build's serial emit order -> whole-chunk fallback
+            for i in splice_idx:
+                if ((i > 0 and cand[i] - cand[i - 1] <= 2 * FLANK)
+                        or (i + 1 < n and cand[i + 1] - cand[i] <= 2 * FLANK)):
+                    return self._fallback()
+            recs = self._hatch_records(host_ctx, ctg_name, cand, splice_idx,
+                                       staged.start)
+            if recs is None:
+                return self._fallback()
+            from clair3_rna_tpu.caller.pipeline import call_tensor_records
+            host_rows += call_tensor_records(recs, host_ctx["forward"],
+                                             self.params, self.cfg,
+                                             self.call_cfg)
+            needs_decode = needs_decode.copy()
+            needs_decode[splice_idx] = False  # handled by the hatch
+            self._count("hatch_chunks")
+            self._count("hatch_candidates", len(splice_idx))
+
+        renorm_idx = np.nonzero(flags == 1)[0]
+        if len(renorm_idx):
+            if host_ctx is None:
+                return self._fallback()
+            recs = self._renorm_records(blob_dev, layout, ctg_name, staged,
+                                        cand, renorm_idx, depth_c, ref_seq,
+                                        ref_lo, _alt)
+            from clair3_rna_tpu.caller.pipeline import call_tensor_records
+            host_rows += call_tensor_records(recs, host_ctx["forward"],
+                                             self.params, self.cfg,
+                                             self.call_cfg)
+            needs_decode = needs_decode.copy()
+            needs_decode[renorm_idx] = False  # handled by the renorm fetch
+            self._count("renorm_chunks")
+            self._count("renorm_candidates", len(renorm_idx))
+
+        dec_idx = np.nonzero(needs_decode)[0]
+        alt_data = [_alt(i) for i in dec_idx]
         from clair3_rna_tpu.pileup.builder import _flanked_ref
         refseqs = [_flanked_ref(ref_seq, ref_lo, int(pos_abs[i]), FLANK)
-                   for i in sel]
-        rows = decode_batch([ctg_name] * len(sel),
-                            [int(pos_abs[i]) + 1 for i in sel],
-                            refseqs, alt_data, probs[sel], self.call_cfg)
+                   for i in dec_idx]
+        rows = decode_batch([ctg_name] * len(dec_idx),
+                            [int(pos_abs[i]) + 1 for i in dec_idx],
+                            refseqs, alt_data, probs[dec_idx], self.call_cfg)
         if host_rows:
             rows = sorted(rows + host_rows,
                           key=lambda r: int(r.split("\t", 2)[1]))
         return rows, n
 
-    def _hatch_records(self, host_ctx, ctg_name, cand, flags, flagged,
-                       start):
-        """Targeted host rebuild of hatch-flagged candidates.
+    def _hatch_records(self, host_ctx, ctg_name, cand, flagged, start):
+        """Targeted host rebuild of isolated splice-flagged candidates.
 
         Each flagged candidate becomes a 1-position mini ChunkTask through
         build_chunk_tensors: the mini build's +-33 row halo sees exactly the
         reads and coverage runs the full-chunk build would (window content,
-        splice backfill and head/tail zeroing are all window-local), so the
-        record -- including the float64 renormalization applied downstream
-        by batch_wire -- is bit-identical to the host path's. Returns None
-        to request whole-chunk fallback: no host context, too many flagged
-        candidates (a full chunk build is then cheaper), depth beyond the
-        AF-threshold table (candidacy itself unsound, host_flags bit 4), or
+        splice backfill and head/tail zeroing are all window-local given the
+        caller's isolation precondition: no other candidate within 2*FLANK,
+        so no in-place mutation or emitted-marks state from neighbors can
+        reach this window), and the record -- including the float64
+        renormalization applied downstream by batch_wire -- is bit-identical
+        to the host path's. Returns None to request whole-chunk fallback on
         a device/host candidacy disagreement (defensive; should not
         happen)."""
-        if host_ctx is None or len(flagged) > self.hatch_max:
-            return None
-        if (flags[flagged] >= 4).any():
-            return None
         from clair3_rna_tpu.pileup.chunk import (ChunkTask,
                                                  build_chunk_tensors)
         recs = []
@@ -1044,4 +1143,39 @@ class FusedChunkCaller:
             if rec is None:
                 return None
             recs.append(rec)
+        return recs
+
+    def _renorm_records(self, blob_dev, layout, ctg_name, staged, cand,
+                        renorm_idx, depth_c, ref_seq, ref_lo, alt_fn):
+        """Renorm-flagged candidates as TensorRecords from the DEVICE image.
+
+        The staged blob is re-read by the windows-fetch jit at the flagged
+        centers, returning the same raw negated count windows the fused
+        pass gathered (the device image is byte-identical to the host
+        builder's, proven by the fused VCF-identity tests) -- no BAM
+        rebuild. The reference's float64 scale-then-truncate
+        (clair3_rna/utils.py:88-92) is then applied downstream by
+        batch_wire/_stack_renormed exactly as on the host path, and the
+        records ride the host wire-forward jit, so probabilities are
+        bit-identical to the host path's. alt_fn(i) supplies the lazy
+        alt_data from the fused pass's own per-candidate outputs."""
+        import numpy as np
+
+        from clair3_rna_tpu.pileup.builder import TensorRecord, _flanked_ref
+
+        sel = cand[renorm_idx].astype(np.int32)
+        bucket = 64  # power-of-two sel buckets bound recompiles
+        while bucket < len(sel):
+            bucket *= 2
+        sel_pad = np.full(bucket, staged.width, np.int32)
+        sel_pad[:len(sel)] = sel
+        wins = np.asarray(self._win_fn(layout)(blob_dev, sel_pad))
+        wins = wins[:len(sel)].astype(np.int32)
+        recs = []
+        for j, i in enumerate(renorm_idx):
+            p = int(cand[i]) + staged.start
+            recs.append(TensorRecord(
+                ctg_name, p + 1, _flanked_ref(ref_seq, ref_lo, p, FLANK),
+                wins[j], int(depth_c[i]),
+                alt_thunk=(lambda i=int(i): alt_fn(i))))
         return recs

@@ -57,7 +57,8 @@ def shard_manifest_dir(base_dir, shard_id):
 def run_sharded_calling(bam_path, ref_path, work_dir, *, cfg, call_cfg,
                         params, forward, contigs, n_shards, shard_id,
                         chunk_size=None, known_vcf_positions=None,
-                        bed_regions=None, progress=False, resume=False):
+                        bed_regions=None, progress=False, resume=False,
+                        pileup_backend=None):
     """One shard's worth of calling; rows persist as shard manifests.
 
     Unlike run_calling this writes no merged VCF -- merge_shards does that
@@ -82,7 +83,7 @@ def run_sharded_calling(bam_path, ref_path, work_dir, *, cfg, call_cfg,
         contigs=contigs, chunk_size=chunk_size,
         known_vcf_positions=known_vcf_positions, bed_regions=bed_regions,
         progress=progress, compress=False, manifest_dir=manifest_dir,
-        resume=resume, tasks=mine)
+        resume=resume, tasks=mine, pileup_backend=pileup_backend)
     return stats
 
 

@@ -1,0 +1,47 @@
+"""--pileup_backend auto|host|fused resolution (caller/backend.py)."""
+
+import pytest
+
+from clair3_rna_tpu.caller import backend as be
+
+
+def test_explicit_choice_passthrough(monkeypatch):
+    monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
+    assert be.resolve_backend("host") == "host"
+    assert be.resolve_backend("fused") == "fused"
+    assert be.resolve_backend(None) == "host"  # default
+
+
+def test_env_var_is_the_operator_override(monkeypatch):
+    monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", "fused")
+    assert be.resolve_backend(None) == "fused"
+    # an explicit CLI choice still beats the env var
+    assert be.resolve_backend("host") == "host"
+
+
+def test_bad_value_rejected(monkeypatch):
+    monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
+    with pytest.raises(ValueError):
+        be.resolve_backend("pallas")
+
+
+def test_auto_without_tpu_picks_host(monkeypatch):
+    # the test harness runs CPU JAX, so the probe short-circuits: no chip,
+    # no fused path
+    monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
+    assert be.resolve_backend("auto") == "host"
+
+
+@pytest.mark.parametrize("bw,want", [
+    (139e6, "host"),     # this environment's tunnel-grade link
+    (0.5e9, "host"),     # below the crossover
+    (8e9, "fused"),      # TPU-VM-class local attachment
+])
+def test_auto_crossover_threshold(monkeypatch, bw, want):
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(be, "probe_link_bandwidth", lambda nbytes=0: bw)
+    got, reason = be.choose_backend()
+    assert got == want
+    assert reason  # the decision is explained in the log line

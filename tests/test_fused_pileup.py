@@ -56,7 +56,8 @@ def test_fused_path_vcf_identical(tmp_path, monkeypatch, show_ref):
 
 def _spy_callers(monkeypatch):
     """Capture FusedChunkCaller instances created inside run_calling, so
-    tests can assert the hatch (vs whole-chunk fallback) actually engaged."""
+    tests can assert which escape path (renorm fetch / splice hatch /
+    whole-chunk fallback) actually engaged."""
     import clair3_rna_tpu.ops.fused_pileup as fp
 
     created = []
@@ -71,19 +72,18 @@ def _spy_callers(monkeypatch):
     return created
 
 
-@pytest.mark.parametrize("case", ["hatch", "budget0", "deep_precheck"])
-def test_fused_high_depth_hatch_identical(tmp_path, monkeypatch, case):
-    """depth > 1.5*max_depth needs the host float64 renormalization.
+@pytest.mark.parametrize("case", ["mixed", "uniform_deep"])
+def test_fused_high_depth_renorm_identical(tmp_path, monkeypatch, case):
+    """depth > 1.5*max_depth needs the reference's float64 renormalization
+    (clair3_rna/utils.py:88-92): flagged candidates' windows are fetched
+    from the staged device image and renormalized host-side while the chunk
+    stays fused, with zero whole-chunk fallbacks.
 
-    - "hatch": a deep transcript window on a normal-depth background --
-      flagged candidates rebuild host-side individually while the chunk
-      stays fused, VCF-identical.
-    - "budget0": hatch budget forced to 0 -> the whole-chunk fallback
-      triggers instead and must also be identical.
-    - "deep_precheck": uniformly renorm-deep chunk -> the coverage precheck
-      skips staging entirely (hatch never engages), still identical."""
+    - "mixed": a deep transcript island on a normal-depth background.
+    - "uniform_deep": a uniformly renorm-deep chunk -- RNA's
+      high-expression regime; every candidate rides the renorm fetch."""
     params = init_params(0)
-    if case == "deep_precheck":
+    if case == "uniform_deep":
         fasta, bam = _dataset(tmp_path, seed=42, contig_len=4_000,
                               n_variants=12, depth=260, splice=False)
     else:
@@ -97,18 +97,37 @@ def test_fused_high_depth_hatch_identical(tmp_path, monkeypatch, case):
                              extra_regions={"chr1": [(3_000, 4_500, 230)]})
     host = _call(bam, fasta, str(tmp_path / "host.vcf"), params, True,
                  monkeypatch, fused=False)
-    if case == "budget0":
-        monkeypatch.setenv("CLAIR3_RNA_TPU_FUSED_HATCH_MAX", "0")
     created = _spy_callers(monkeypatch)
     fused = _call(bam, fasta, str(tmp_path / "fused.vcf"), params, True,
                   monkeypatch, fused=True)
     assert len(host) > 5
     assert fused == host
-    hatched = sum(c.hatch_candidates for c in created)
-    if case == "hatch":
-        assert hatched > 0  # renorm candidates went through the hatch
-    else:
-        assert hatched == 0  # fallback / precheck paths
+    assert sum(c.renorm_candidates for c in created) > 0
+    assert sum(c.fallback_chunks for c in created) == 0
+    assert sum(c.hatch_candidates for c in created) == 0  # splice-only now
+
+
+@pytest.mark.parametrize("depth", [220, 800, 2000])
+def test_fused_renorm_depth_sweep_identical(tmp_path, monkeypatch, depth):
+    """Renorm-fetch differential over the depth range the AF-threshold
+    table covers (217..4095): fused output stays VCF-identical to the host
+    float64 path at each depth, with the renorm path (not a fallback)
+    engaged. Depths past the table bound are covered by the flag-4
+    fallback instead (the simulator's mid-contig coverage pile-up reaches
+    ~1.5x nominal depth, so the sweep tops out at nominal 2000 ~ actual
+    3000)."""
+    fasta, bam = _dataset(tmp_path, seed=46, contig_len=1_200, n_variants=5,
+                          depth=depth, splice=False)
+    params = init_params(0)
+    host = _call(bam, fasta, str(tmp_path / "host.vcf"), params, True,
+                 monkeypatch, fused=False)
+    created = _spy_callers(monkeypatch)
+    fused = _call(bam, fasta, str(tmp_path / "fused.vcf"), params, True,
+                  monkeypatch, fused=True)
+    assert len(host) > 2
+    assert fused == host
+    assert sum(c.renorm_candidates for c in created) > 0
+    assert sum(c.fallback_chunks for c in created) == 0
 
 
 def test_fused_chunk_caller_direct(tmp_path, monkeypatch):
@@ -186,10 +205,11 @@ def test_fused_phased_vcf_identical(tmp_path, monkeypatch):
     assert fused == host
 
 
-def test_fused_phased_high_depth_hatch_identical(tmp_path, monkeypatch):
-    """Renormalization hatch in phased 30-channel mode: flagged candidates
-    rebuild host-side with the phased builder + phased wire forward and the
-    VCF stays identical."""
+def test_fused_phased_high_depth_renorm_identical(tmp_path, monkeypatch):
+    """Renormalization in phased 30-channel mode: a uniformly renorm-deep
+    phased chunk stays fused, flagged candidates ride the device-window
+    fetch + host float64 scale + phased wire forward, and the VCF stays
+    identical with zero whole-chunk fallbacks."""
     rng = random.Random(57)
     genome = simdata.random_genome(rng, [("chr1", 3_000)])
     variants = simdata.plant_variants(rng, genome, n_per_contig=10,
@@ -219,7 +239,8 @@ def test_fused_phased_high_depth_hatch_identical(tmp_path, monkeypatch):
     fused = _run(str(tmp_path / "fused.vcf"), fused=True)
     assert len(host) > 3
     assert fused == host
-    assert sum(c.hatch_candidates for c in created) > 0
+    assert sum(c.renorm_candidates for c in created) > 0
+    assert sum(c.fallback_chunks for c in created) == 0
 
 
 @pytest.mark.parametrize("mode", ["bed", "known", "splice", "head_tail",
@@ -257,8 +278,87 @@ def test_fused_extended_modes_vcf_identical(tmp_path, monkeypatch, mode):
     assert fused == host
     if mode in ("splice", "splice_head_tail"):
         # the dataset's splice junction flags trigger-superset candidates;
-        # they must go through the hatch, not a whole-chunk fallback
-        assert sum(c.hatch_candidates for c in created) > 0
+        # isolated ones ride the hatch, clustered ones force a whole-chunk
+        # fallback -- either way the escape machinery must have engaged
+        # (test_fused_splice_isolated_hatch_identical pins the hatch path
+        # specifically)
+        assert sum(c.hatch_candidates + c.fallback_chunks
+                   for c in created) > 0
+
+
+def test_fused_splice_isolated_hatch_identical(tmp_path, monkeypatch):
+    """An ISOLATED splice-trigger candidate (no other candidate within
+    2*FLANK) rides the per-candidate mini-rebuild hatch while the rest of
+    the chunk stays fused, VCF-identical."""
+    rng = random.Random(63)
+    genome = simdata.random_genome(rng, [("chr1", 6_000)])
+    mid = 3_000
+    seq = genome["chr1"]
+    # one candidate inside FLANK of the intron start; the others far away
+    variants = {"chr1": [
+        simdata.Variant(p, seq[p],
+                        next(b for b in "ACGT" if b != seq[p]), (0, 1))
+        for p in (500, 1_500, mid - 8, 4_600)]}
+    fasta = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "reads.bam")
+    write_fasta(fasta, genome)
+    # a 200bp intron is short enough for reads to span entirely, producing
+    # real CIGAR-N ref-skips (the simulator only splices fully-spanning
+    # reads); skip count * 5 > depth flags the mid-8 candidate. Zero error
+    # rate keeps noise candidates from landing inside the 2*FLANK isolation
+    # radius (which would legitimately force a whole-chunk fallback).
+    simdata.simulate_bam(bam, genome, variants, rng, depth=30,
+                         error_rate=0.0,
+                         splice_sites={"chr1": [(mid, mid + 200)]})
+    cfg = PileupConfig(batch_size=256, enable_splice_padding=True)
+    params = init_params(0)
+    host = _call_kw(bam, fasta, str(tmp_path / "host.vcf"), params,
+                    monkeypatch, fused=False, cfg=cfg)
+    created = _spy_callers(monkeypatch)
+    fused = _call_kw(bam, fasta, str(tmp_path / "fused.vcf"), params,
+                     monkeypatch, fused=True, cfg=cfg)
+    assert len(host) >= 3
+    assert fused == host
+    assert sum(c.hatch_candidates for c in created) > 0
+    assert sum(c.fallback_chunks for c in created) == 0
+
+
+def test_fused_splice_cluster_falls_back_identical(tmp_path, monkeypatch):
+    """Clustered splice-trigger candidates (another candidate within
+    2*FLANK of a flagged one) must force a whole-chunk host fallback, not
+    the per-candidate hatch: the host builder's in-place backfill mutates
+    neighbors' windows and serializes their emit order
+    (pileup/builder.py:537-622), which a 1-position mini rebuild cannot
+    replay. The fused output must still be VCF-identical."""
+    rng = random.Random(61)
+    genome = simdata.random_genome(rng, [("chr1", 6_000)])
+    mid = 3_000
+    # candidates straddling the junction edge, 22bp apart (< 2*FLANK = 66):
+    # the one inside FLANK of the intron start gets splice-flagged, its
+    # neighbors are coupled through the shared-image backfill
+    seq = genome["chr1"]
+    variants = {"chr1": [
+        simdata.Variant(p, seq[p],
+                        next(b for b in "ACGT" if b != seq[p]), (0, 1))
+        for p in (mid - 52, mid - 30, mid - 8)]}
+    fasta = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "reads.bam")
+    write_fasta(fasta, genome)
+    # short intron -> reads span it entirely and emit real CIGAR-N skips
+    simdata.simulate_bam(bam, genome, variants, rng, depth=30,
+                         splice_sites={"chr1": [(mid, mid + 200)]})
+    cfg = PileupConfig(batch_size=256, enable_splice_padding=True)
+    params = init_params(0)
+    host = _call_kw(bam, fasta, str(tmp_path / "host.vcf"), params,
+                    monkeypatch, fused=False, cfg=cfg)
+    created = _spy_callers(monkeypatch)
+    fused = _call_kw(bam, fasta, str(tmp_path / "fused.vcf"), params,
+                     monkeypatch, fused=True, cfg=cfg)
+    assert len(host) >= 3
+    assert fused == host
+    # the clustered chunk fell back wholesale; nothing rode the mini-rebuild
+    assert sum(c.fallback_chunks for c in created) > 0
+    assert sum(c.hatch_candidates for c in created) == 0
 
 
 def test_fused_overflow_retry_identical(tmp_path, monkeypatch):
