@@ -151,6 +151,13 @@ def bench_ours(fasta_path, bam_path):
 
     result = _timed_runs(bam_path, fasta_path, cfg, call_cfg, params,
                          forward, n_runs=N_TIMED_RUNS)
+    # measured host->device bandwidth, the crossover-model input that
+    # --pileup_backend auto decides on (caller/backend.py)
+    try:
+        from clair3_rna_tpu.caller.backend import probe_link_bandwidth
+        result["link_h2d_mbps"] = round(probe_link_bandwidth() / 1e6, 1)
+    except Exception:
+        pass
 
     # secondary configs (one timed run each; VCF content identical rules
     # still hold -- these exist to keep the renormalization-active and
@@ -186,9 +193,11 @@ def bench_ours(fasta_path, bam_path):
             raise RuntimeError(
                 f"fused VCF differs from host VCF: {len(fused_vcf)} vs "
                 f"{len(host_vcf)} rows")
-        # renormalization regime (depth 260 > 216): flagged candidates ride
-        # the per-candidate host hatch while the chunks stay fused; the VCF
-        # must still be identical to the host run's
+        # renormalization regime (uniform depth 260 > 216, RNA's
+        # high-expression shape): every chunk must GENUINELY run fused --
+        # flagged candidates ride the device-window fetch + host float64
+        # scale -- with zero whole-chunk fallbacks, and the VCF must be
+        # identical to the host run's
         result["fused_high_depth"] = _timed_runs(hd_bam, hd_fasta, cfg,
                                                  call_cfg, params, forward,
                                                  n_runs=2)
@@ -199,6 +208,15 @@ def bench_ours(fasta_path, bam_path):
             raise RuntimeError(
                 f"fused high-depth VCF differs from host: "
                 f"{len(hd_fused_vcf)} vs {len(hd_host_vcf)} rows")
+        hd_counters = result["fused_high_depth"].get("fused_counters", {})
+        if not hd_counters.get("renorm_candidates"):
+            raise RuntimeError(
+                "fused_high_depth did not exercise the renorm path: "
+                f"{hd_counters}")
+        if hd_counters.get("fallback_chunks"):
+            raise RuntimeError(
+                "fused_high_depth fell back to the host path: "
+                f"{hd_counters}")
     finally:
         os.environ.pop("CLAIR3_RNA_TPU_PILEUP_BACKEND", None)
     result["fused_device_only"] = _bench_fused_device(bam_path, fasta_path,
@@ -271,21 +289,46 @@ def _bench_fused_device(bam_path, fasta_path, params, cfg):
             staged_dev.append([jax.device_put(a) for a in args])
         return staged_dev, wire_bytes
 
-    def _time_mode(mode, scatter_mode):
+    def _time_mode(mode, scatter_mode, n_timed=3):
         staged_dev, wire_bytes = _stage(mode, scatter_mode)
         caller = FusedChunkCaller(params, cfg, CallConfig(show_ref=False),
                                   scatter=scatter_mode, mode=mode)
-        for args in staged_dev:  # warm all bucket shapes
-            np.asarray(caller.fused(*args)[0])
-        t0 = time.time()
-        outs = [caller.fused(*args) for args in staged_dev]
-        # one header-row fetch per chunk proves execution finished (the
-        # fused output is a single packed array; row 0 col 0 is n_cand)
-        n_cands = int(sum(int(np.asarray(o[0])[0]) for o in outs))
-        dt = time.time() - t0
+
+        def _full_pass():
+            t0 = time.time()
+            outs = [caller.fused(*args) for args in staged_dev]
+            # one header-row fetch per chunk proves execution finished (the
+            # fused output is a single packed array; row 0 col 0 is n_cand)
+            n = int(sum(int(np.asarray(o[0])[0]) for o in outs))
+            return time.time() - t0, n
+
+        sel = np.arange(1024, dtype=np.int32)  # full-budget window fetch
+
+        def _windows_pass():
+            # the sel entry point skips the mask/threshold/network stages:
+            # its time is the CIGAR-expansion + count + i1 + negation +
+            # window-gather front end; full - windows ~= mask + network
+            t0 = time.time()
+            outs = [caller.fused(*args, sel=sel) for args in staged_dev]
+            for o in outs:  # tiny fetch per chunk proves execution
+                np.asarray(o[0, 0])
+            return time.time() - t0
+
+        _full_pass()      # warm all bucket shapes
+        _windows_pass()
+        # best-of-N: the shared 2-vCPU host swings +-30%; dispatch/sync
+        # noise rides on every timed pass (BENCH_r03's 115-vs-189 M
+        # events/s discrepancy was not diagnosable from a single run)
+        runs = [_full_pass() for _ in range(n_timed)]
+        dt = min(r[0] for r in runs)
+        n_cands = runs[0][1]
+        win_s = min(_windows_pass() for _ in range(n_timed))
         return {"n_candidates": n_cands, "n_events": int(n_events),
                 "mode": mode, "scatter": scatter_mode,
                 "device_s": round(dt, 4),
+                "device_s_runs": [round(r[0], 4) for r in runs],
+                "stage_expand_count_gather_s": round(win_s, 4),
+                "stage_mask_network_s_est": round(max(dt - win_s, 0.0), 4),
                 "wire_mb": round(wire_bytes / 1e6, 1),
                 "extract_s": round(t_extract[mode], 3),
                 "sites_per_s": round(n_cands / dt, 1),
@@ -326,7 +369,7 @@ def _timed_runs(bam_path, fasta_path, cfg, call_cfg, params, forward, *,
             total += open_s
         if stats.candidates == 0:
             raise RuntimeError("bench produced no candidates")
-        runs.append({
+        run = {
             "n_candidates": stats.candidates,
             "bam_open_s": round(open_s, 3),
             "build_s": stats.build_s,
@@ -334,7 +377,10 @@ def _timed_runs(bam_path, fasta_path, cfg, call_cfg, params, forward, *,
             "decode_s": stats.decode_s,
             "wall_s": total,
             "sites_per_s": stats.candidates / total,
-        })
+        }
+        if stats.fused is not None:
+            run["fused_counters"] = stats.fused
+        runs.append(run)
     runs.sort(key=lambda r: r["sites_per_s"])
     best = dict(runs[-1])
     best["median_sites_per_s"] = round(runs[len(runs) // 2]["sites_per_s"], 1)
@@ -406,6 +452,44 @@ def bench_reference(fasta_path, bam_path, max_seconds=600):
     }
 
 
+def _compact_summary(ours, baseline, vs):
+    """Small per-config digest that must survive any output-tail capture
+    (BENCH_r03 lost its headline because the single giant value-first line
+    was truncated from the front)."""
+    def pick(cfg, *keys):
+        d = ours.get(cfg) or {}
+        out = {k: d[k] for k in keys if k in d}
+        if "fused_counters" in d:
+            fc = d["fused_counters"]
+            out["renorm_candidates"] = fc.get("renorm_candidates")
+            out["fallback_chunks"] = fc.get("fallback_chunks")
+        return out
+
+    return {
+        "metric": "candidate-sites/s/chip (pileup build + Bi-LSTM + decode)",
+        "value": round(ours["sites_per_s"], 1),
+        "unit": "sites/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "headline_median_sites_per_s": ours.get("median_sites_per_s"),
+        "baseline_sites_per_s": round(baseline["sites_per_s"], 1)
+        if baseline.get("sites_per_s") else None,
+        "configs": {
+            "high_depth": pick("high_depth", "sites_per_s"),
+            "sustained_5mb": pick("sustained_5mb", "sites_per_s"),
+            "fused_e2e": pick("fused_e2e", "sites_per_s",
+                              "median_sites_per_s", "fused_vcf_identical"),
+            "fused_high_depth": pick("fused_high_depth", "sites_per_s",
+                                     "fused_vcf_identical"),
+            "fused_device_only": pick(
+                "fused_device_only", "device_s", "events_per_s",
+                "sites_per_s", "stage_expand_count_gather_s",
+                "stage_mask_network_s_est"),
+        },
+        "link_h2d_mbps": ours.get("link_h2d_mbps"),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+
+
 def main():
     import tempfile
 
@@ -437,7 +521,12 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "detail": {"ours": ours, "baseline": baseline},
     }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
+    # the compact summary prints LAST so a tail-capturing driver always
+    # keeps the headline (full detail persists in BENCH_DETAIL.json)
+    print(json.dumps(_compact_summary(ours, baseline, vs)))
 
 
 if __name__ == "__main__":

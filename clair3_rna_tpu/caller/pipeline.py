@@ -107,6 +107,7 @@ class CallStats:
     build_s: float = 0.0
     infer_s: float = 0.0
     decode_s: float = 0.0
+    fused: dict | None = None  # fused-path telemetry (renorm/hatch/fallback)
 
 
 def dispatch_tensor_records(records, forward, params, cfg: PileupConfig,
@@ -673,6 +674,15 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         sample_name=sample_name or cfg.sample_name,
         cmd_line=cmd_line, compress=False)
 
+    if fused_caller is not None:
+        stats.fused = {
+            "renorm_candidates": fused_caller.renorm_candidates,
+            "renorm_chunks": fused_caller.renorm_chunks,
+            "hatch_candidates": fused_caller.hatch_candidates,
+            "hatch_chunks": fused_caller.hatch_chunks,
+            "overflow_retries": fused_caller.overflow_retries,
+            "fallback_chunks": fused_caller.fallback_chunks,
+        }
     if gvcf_enabled:
         gvcf_rows_by_contig = {ctg: gvcf_rows_for(ctg)
                                for ctg in {k[0] for k in gvcf_by_chunk}}

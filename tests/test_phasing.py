@@ -6,9 +6,11 @@ The reference delegates this stage to whatshap/longphase
 the way `whatshap compare` would (switch errors against truth phasing).
 """
 
+import os
 import random
 
 import numpy as np
+import pytest
 
 from clair3_rna_tpu.phasing.phase import (
     HetSite, assign_read_haplotypes, phase_sites, phase_sites_pairwise,
@@ -269,3 +271,84 @@ def test_phasing_rss_bounded(tmp_path):
             n_hp += int(rec.tags.get("HP", 0) in (1, 2))
     assert n_out == n_src
     assert n_hp > n_out * 0.5
+
+
+@pytest.mark.parametrize("tool,platform", [
+    ("whatshap", "ont_dorado_drna004"),
+    ("longphase", "ont_dorado_drna004"),
+    ("longphase", "hifi_sequel2"),
+])
+def test_external_phaser_golden_argv(tmp_path, monkeypatch, tool, platform):
+    """String-for-string golden argv for the whatshap/longphase delegations
+    vs the reference's invocations (run_clair3_rna:729-801) -- a drifted
+    flag in either tool's command line fails here, executable-free.
+
+    Intentional, documented differences from the reference command lines:
+    the reference fans per-contig jobs out under GNU parallel (whatshap
+    --chromosome {ctg} / --regions {ctg}, longphase -t N per job), ours
+    phases the whole VCF in ONE invocation; and the reference's external
+    bgzip/tabix/samtools-index steps are replaced by our in-process
+    BGZF/tabix/BAI writers. Every semantic flag is identical."""
+    import subprocess
+
+    from clair3_rna_tpu.phasing import pipeline as ph
+
+    wd = str(tmp_path)
+    vcf = os.path.join(wd, "calls.vcf")
+    with open(vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                "FILTER\tINFO\tFORMAT\tS\nchr1\t100\t.\tA\tC\t30\tPASS\t.\t"
+                "GT\t0/1\n")
+    bam = os.path.join(wd, "reads.bam")
+    ref = os.path.join(wd, "ref.fa")
+    out_bam = os.path.join(wd, "tagged.bam")
+    phased_prefix = os.path.join(wd, "external_phased")
+    vcf_gz = os.path.join(wd, "phase_input.vcf.gz")
+
+    calls = []
+
+    def fake_run(cmd, check=True, **kw):
+        calls.append(list(cmd))
+        if cmd[0].endswith("longphase") and cmd[1] == "phase":
+            # longphase writes <prefix>.vcf; fabricate it so the in-process
+            # bgzip+tabix that follows has something to compress
+            with open(phased_prefix + ".vcf", "w") as f:
+                f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\t"
+                        "QUAL\tFILTER\tINFO\tFORMAT\tS\n")
+        return subprocess.CompletedProcess(cmd, 0)
+
+    monkeypatch.setattr(ph.os.path, "exists",
+                        lambda p: True if p.endswith(tool)
+                        else os.path.exists(p))
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    ph.phase_and_haplotag(bam, ref, vcf, out_bam, phaser=tool,
+                          whatshap="/opt/bin/whatshap",
+                          longphase="/opt/bin/longphase",
+                          platform=platform)
+
+    if tool == "whatshap":
+        # run_clair3_rna:752-761 (phase) / 786-794 (haplotag)
+        assert calls == [
+            ["/opt/bin/whatshap", "phase",
+             "--output", phased_prefix + ".vcf.gz",
+             "--reference", ref,
+             "--distrust-genotypes", "--ignore-read-groups",
+             vcf_gz, bam],
+            ["/opt/bin/whatshap", "haplotag",
+             "--output", out_bam,
+             "--reference", ref,
+             "--ignore-read-groups",
+             phased_prefix + ".vcf.gz", bam],
+        ]
+    else:
+        # run_clair3_rna:733-741 (phase) / 772-779 (haplotag)
+        plat_flag = "--ont" if platform.startswith("ont") else "--pb"
+        assert calls == [
+            ["/opt/bin/longphase", "phase",
+             "-s", vcf_gz, "-b", bam, "-r", ref, plat_flag,
+             "-o", phased_prefix],
+            ["/opt/bin/longphase", "haplotag",
+             "-s", phased_prefix + ".vcf.gz",
+             "-b", bam, "-r", ref,
+             "-o", os.path.splitext(out_bam)[0]],
+        ]
