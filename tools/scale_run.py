@@ -13,7 +13,12 @@ Generates a ~100 Mb, 8-contig dataset once (cached in .bench_data/), then:
    row-identical to the full run -- determinism at scale;
 3. measured (not projected) shard balance for 8/16/32 shards from the full
    run's per-chunk joblog timings, aggregated with the exact
-   shard_tasks round-robin policy.
+   shard_tasks round-robin policy;
+4. when a real accelerator is reachable, the SAME dataset again with
+   device inference (the missing half of BASELINE config #5's shape):
+   once on the host pileup backend and once fused
+   (CLAIR3_RNA_TPU_PILEUP_BACKEND=fused), asserting the two device runs
+   are row-identical and recording sustained sites/s + RSS for both.
 
 Results land in SCALE_RUN.json and are summarized into SCALING.md section 4
 (replacing the round-2 projection with measured numbers). The reference's
@@ -126,26 +131,46 @@ else:
                  show_ref=False, qual_cutoff=cfg.effective_qual_cutoff,
                  reference_file_path=fasta, compress=False)
 wall = time.time() - t0
+import jax
 out = {{"mode": mode, "wall_s": round(wall, 2), "candidates": int(n),
         "sites_per_s": round(n / wall, 1),
         "rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024,
+        "jax_backend": jax.default_backend(),
+        "pileup_backend": os.environ.get("CLAIR3_RNA_TPU_PILEUP_BACKEND",
+                                         "host"),
         "bam_compressed_mb": round(os.path.getsize(bam_path) / 1e6, 1),
         "bytes_inflated_mb": round(bam.bytes_read() / 1e6, 1)
         if hasattr(bam, "bytes_read") else None}}
 if mode != "full":
     out["shard_walls"] = [round(w, 2) for w in shard_walls]
+elif stats.fused is not None:
+    out["fused_counters"] = stats.fused
 print("SCALE_RESULT " + json.dumps(out))
 """
 
 
-def run_child(mode, fasta, bam, outdir, platform="cpu"):
+def run_child(mode, fasta, bam, outdir, platform="cpu", backend=None):
     os.makedirs(outdir, exist_ok=True)
     script = os.path.join(outdir, "child.py")
     with open(script, "w") as f:
         f.write(CHILD.format(repo=REPO, chunk_size=CHUNK_SIZE))
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env["PYTHONPATH"] = REPO
-    env["JAX_PLATFORMS"] = platform
+    env = dict(os.environ)
+    if platform == "cpu":
+        # REPLACE the ambient PYTHONPATH: a sitecustomize there registers
+        # the device plugin and pins jax_platforms before env vars apply
+        env["PYTHONPATH"] = REPO
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        # device child: keep the ambient sitecustomize (device plugin)
+        # loaded, prepend the repo, and reuse the persistent compile cache
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("JAX_PLATFORMS", None)
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(REPO, ".jax_cache"))
+    if backend:
+        env["CLAIR3_RNA_TPU_PILEUP_BACKEND"] = backend
+    else:
+        env.pop("CLAIR3_RNA_TPU_PILEUP_BACKEND", None)
     # sh hop: ru_maxrss is inherited across fork; forking the measured
     # python from sh gives a clean high-water mark
     cmd = f"{sys.executable} {script} {mode} {fasta} {bam} {outdir}"
@@ -160,6 +185,19 @@ def run_child(mode, fasta, bam, outdir, platform="cpu"):
     res = json.loads(line[len("SCALE_RESULT "):])
     res["child_wall_s"] = round(time.time() - t0, 2)
     return res
+
+
+def device_available():
+    """True when a real accelerator backend is importable in a child that
+    keeps the ambient sitecustomize (device plugin) on PYTHONPATH."""
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=180)
+    except subprocess.TimeoutExpired:
+        return False
+    return probe.returncode == 0 and probe.stdout.strip() not in ("cpu", "")
 
 
 def shard_balance_from_joblog(joblog_path, shard_counts=(8, 16, 32)):
@@ -206,6 +244,35 @@ def main():
     assert merged_rows == full_rows, (
         f"8-shard merge diverged: {len(merged_rows)} vs {len(full_rows)}")
 
+    # device-backed runs: BASELINE config #5's shape WITH the chip (the
+    # CPU child above proves streaming/memory/balance; these prove the
+    # same scale with real device inference, host and fused backends)
+    device = {}
+    if device_available():
+        d_full = run_child("full", fasta, bam,
+                           os.path.join(workdir, "dev_full"),
+                           platform="device")
+        d_fused = run_child("full", fasta, bam,
+                            os.path.join(workdir, "dev_fused"),
+                            platform="device", backend="fused")
+        rows_h = [l for l in open(os.path.join(workdir, "dev_full",
+                                               "full.vcf"))
+                  if not l.startswith("#")]
+        rows_f = [l for l in open(os.path.join(workdir, "dev_fused",
+                                               "full.vcf"))
+                  if not l.startswith("#")]
+        assert rows_f == rows_h, (
+            f"device fused run diverged from device host run: "
+            f"{len(rows_f)} vs {len(rows_h)} rows")
+        device = {
+            "device_full": d_full,
+            "device_fused": {**d_fused,
+                             "rows_identical_to_device_full": True},
+        }
+    else:
+        print("[scale_run] no accelerator reachable: skipping device runs",
+              file=sys.stderr)
+
     balance = shard_balance_from_joblog(
         os.path.join(workdir, "full", "joblog.tsv"))
     result = {
@@ -222,6 +289,7 @@ def main():
                       "n_rows": len(full_rows)},
         "rss_budget_mb": RSS_BUDGET_MB,
         "measured_shard_balance": balance,
+        **device,
     }
     with open(os.path.join(REPO, "SCALE_RUN.json"), "w") as f:
         json.dump(result, f, indent=1)
@@ -257,6 +325,19 @@ def patch_scaling_md(result):
         "bounded by chunk working set, not input size)",
         f"- 8-shard sequential run + merge_shards: output row-identical to "
         f"the full run ({result['sharded_8']['n_rows']} rows)",
+    ]
+    if "device_full" in result:
+        df, dz = result["device_full"], result["device_fused"]
+        lines += [
+            f"- device-backed full run (real chip inference, host pileup "
+            f"backend): {df['candidates']} sites in {df['wall_s']}s = "
+            f"**{df['sites_per_s']} sites/s** at {df['rss_mb']} MB RSS",
+            f"- device-backed FUSED run (packed reads to HBM, whole chunk "
+            f"in one jit): {dz['candidates']} sites in {dz['wall_s']}s = "
+            f"**{dz['sites_per_s']} sites/s** at {dz['rss_mb']} MB RSS, "
+            "row-identical to the device host run",
+        ]
+    lines += [
         "- measured round-robin shard balance from per-chunk joblog "
         "timings:",
         "",
