@@ -79,6 +79,11 @@ def resolve_backend(requested=None):
         backend, reason = choose_backend()
         logger.info("[INFO] pileup backend auto-selected: %s (%s)",
                     backend, reason)
+    if backend in ("device", "pallas"):
+        # scatter-backend selectors for the pure-array builder path
+        # (pileup/builder._pileup_backend reads the same env var); at the
+        # pipeline level they mean "not the fused formulation"
+        return "host"
     if backend not in ("host", "fused"):
         raise ValueError(f"bad pileup backend: {backend!r} "
                          "(expected auto|host|fused)")

@@ -22,7 +22,7 @@ def test_env_var_is_the_operator_override(monkeypatch):
 def test_bad_value_rejected(monkeypatch):
     monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
     with pytest.raises(ValueError):
-        be.resolve_backend("pallas")
+        be.resolve_backend("gpu")
 
 
 def test_auto_without_tpu_picks_host(monkeypatch):
@@ -45,3 +45,12 @@ def test_auto_crossover_threshold(monkeypatch, bw, want):
     got, reason = be.choose_backend()
     assert got == want
     assert reason  # the decision is explained in the log line
+
+
+def test_builder_scatter_env_values_mean_host_pipeline(monkeypatch):
+    # "device"/"pallas" select the pure-array builder's scatter backend
+    # (pileup/builder._pileup_backend reads the same env var); the pipeline
+    # must treat them as the host formulation, not reject them
+    for v in ("device", "pallas"):
+        monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", v)
+        assert be.resolve_backend(None) == "host"
