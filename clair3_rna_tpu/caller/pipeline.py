@@ -110,6 +110,41 @@ class CallStats:
     fused: dict | None = None  # fused-path telemetry (renorm/hatch/fallback)
 
 
+from collections import OrderedDict
+
+# Process-level FusedChunkCaller reuse: a caller owns jitted graphs whose
+# (re)construction costs re-tracing plus executable reload -- tens of
+# seconds per layout on a tunnel-attached chip -- so short run_calling
+# invocations (tests, benches, per-pass drivers) must not pay it again.
+# Keyed by everything that changes the traced graphs; params ride by
+# identity (the fused closures capture them), held strongly so the id
+# stays valid while cached. A handful of entries covers the realistic
+# per-process mix (unphased + phased pass, -G, BED).
+_FUSED_CALLERS: OrderedDict = OrderedDict()
+_FUSED_CALLERS_MAX = 4
+
+
+def _get_fused_caller(params, cfg, call_cfg, known_only, with_masks):
+    from clair3_rna_tpu.ops.fused_pileup import (FusedChunkCaller,
+                                                 resolve_mode,
+                                                 resolve_scatter)
+    scatter = resolve_scatter()
+    mode = resolve_mode()
+    key = (id(params), repr(cfg), repr(call_cfg), known_only, with_masks,
+           scatter, mode)
+    ent = _FUSED_CALLERS.get(key)
+    if ent is not None:
+        _FUSED_CALLERS.move_to_end(key)
+        return ent[0]
+    caller = FusedChunkCaller(params, cfg, call_cfg, scatter=scatter,
+                              mode=mode, known_only=known_only,
+                              with_masks=with_masks)
+    _FUSED_CALLERS[key] = (caller, params)
+    while len(_FUSED_CALLERS) > _FUSED_CALLERS_MAX:
+        _FUSED_CALLERS.popitem(last=False)
+    return caller
+
+
 def dispatch_tensor_records(records, forward, params, cfg: PileupConfig,
                             call_cfg: CallConfig,
                             stats: CallStats | None = None):
@@ -320,13 +355,14 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     from clair3_rna_tpu.caller.backend import resolve_backend
     backend = resolve_backend(pileup_backend)
     fused_caller = None
+    fused_counts0 = None
     if (backend == "fused" and not call_cfg.gvcf
             and not call_cfg.debug and params is not None):
-        from clair3_rna_tpu.ops.fused_pileup import FusedChunkCaller
-        fused_caller = FusedChunkCaller(
+        fused_caller = _get_fused_caller(
             params, cfg, call_cfg,
             known_only=known_vcf_positions is not None,
             with_masks=bed_regions is not None)
+        fused_counts0 = fused_caller.counters()
 
     # build prefetch: the host builds chunk i+1 (C++ + numpy, GIL-releasing)
     # while the device runs inference on chunk i -- the in-process analogue of
@@ -675,14 +711,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         cmd_line=cmd_line, compress=False)
 
     if fused_caller is not None:
-        stats.fused = {
-            "renorm_candidates": fused_caller.renorm_candidates,
-            "renorm_chunks": fused_caller.renorm_chunks,
-            "hatch_candidates": fused_caller.hatch_candidates,
-            "hatch_chunks": fused_caller.hatch_chunks,
-            "overflow_retries": fused_caller.overflow_retries,
-            "fallback_chunks": fused_caller.fallback_chunks,
-        }
+        # run-scoped deltas: the caller (and its counters) outlives this
+        # run via the process-level cache
+        stats.fused = {k: v - fused_counts0[k]
+                       for k, v in fused_caller.counters().items()}
     if gvcf_enabled:
         gvcf_rows_by_contig = {ctg: gvcf_rows_for(ctg)
                                for ctg in {k[0] for k in gvcf_by_chunk}}
@@ -698,13 +730,15 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             "build %.2fs infer %.2fs decode %.2fs",
             stats.candidates, stats.decoded, n_rows, n_tagged,
             stats.build_s, stats.infer_s, stats.decode_s)
-        if fused_caller is not None:
+        if stats.fused is not None:
             logger.info(
                 "fused path: %d renormalized candidates over %d chunks "
                 "(device-window fetch), %d splice-hatched candidates over "
                 "%d chunks, %d budget retries, %d whole-chunk host "
                 "fallbacks",
-                fused_caller.renorm_candidates, fused_caller.renorm_chunks,
-                fused_caller.hatch_candidates, fused_caller.hatch_chunks,
-                fused_caller.overflow_retries, fused_caller.fallback_chunks)
+                stats.fused["renorm_candidates"],
+                stats.fused["renorm_chunks"],
+                stats.fused["hatch_candidates"], stats.fused["hatch_chunks"],
+                stats.fused["overflow_retries"],
+                stats.fused["fallback_chunks"])
     return outputs, stats

@@ -629,9 +629,12 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         depth_c = depth[cc]
         # host_flags: per-candidate escape codes (0 = fully fused).
         # 1 = renormalization depth (needs the host's float64 scale+truncate,
-        #     clair3_rna/utils.py:88-92) -- the window is rebuilt host-side
-        #     per candidate (FusedChunkCaller._hatch_records);
-        # 2 = conservative splice-padding trigger superset (same hatch);
+        #     clair3_rna/utils.py:88-92) -- the raw window is re-read from
+        #     the staged device image and scaled host-side
+        #     (FusedChunkCaller._renorm_records);
+        # 2 = conservative splice-padding trigger superset -- isolated
+        #     candidates rebuild host-side (_hatch_records), clustered ones
+        #     whole-chunk fall back;
         # 4 = depth beyond the static AF-threshold table: the clamped
         #     thresholds are lenient, so this candidate's candidacy itself
         #     may be a false positive -> whole-chunk host fallback.
@@ -917,6 +920,16 @@ class FusedChunkCaller:
     def _count(self, name, delta=1):
         with self._lock:
             setattr(self, name, getattr(self, name) + delta)
+
+    def counters(self):
+        """Snapshot of the telemetry counters (cumulative over the caller's
+        lifetime; run-scoped deltas are the reader's job, since callers are
+        reused across run_calling invocations to keep their compiled
+        graphs warm)."""
+        with self._lock:
+            return {k: getattr(self, k) for k in (
+                "renorm_candidates", "renorm_chunks", "hatch_candidates",
+                "hatch_chunks", "overflow_retries", "fallback_chunks")}
 
     def _fallback(self):
         """Record and request a whole-chunk host fallback."""
