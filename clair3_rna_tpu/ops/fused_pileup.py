@@ -54,9 +54,11 @@ Two wire formats feed the fused jit:
 
 Perf reality (measured, 2-vCPU host + tunnel-attached v5e): the events wire
 costs ~6x the C++ in-place count to materialize (1.98s vs 0.34s per 1.2Mb at
-35x) and ~11 B/event to ship, losing ~25x end-to-end on a 139 MB/s link; the
-packed wire is ~15x smaller and ~10x cheaper to extract, which is what lets
-the fused path beat the host tile builder end-to-end (bench.py fused_e2e).
+35x) and ~11 B/event to ship, losing ~25x end-to-end on a ~100-140 MB/s
+link; the packed wire is ~15x smaller and ~10x cheaper to extract. On this
+tunnel the HOST path still wins end-to-end (ship-bound; --pileup_backend
+auto picks it); the fused path is the deployment formulation for
+chip-local links per the PERF.md crossover model.
 """
 
 import os
