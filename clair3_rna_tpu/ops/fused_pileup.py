@@ -1179,7 +1179,12 @@ class FusedChunkCaller:
         from clair3_rna_tpu.pileup.builder import TensorRecord, _flanked_ref
 
         sel = cand[renorm_idx].astype(np.int32)
-        bucket = 64  # power-of-two sel buckets bound recompiles
+        # ONE sel bucket (the candidate budget): each distinct sel shape
+        # compiles its own windows graph -- minutes over a tunnel, tens of
+        # seconds anywhere -- while the over-fetch it avoids costs ~0.1 s
+        # ([1024, 33, 18] f32 on a 19 MB/s downlink). Overflow chunks
+        # (budget > max_candidates) are the only second shape.
+        bucket = self.max_candidates
         while bucket < len(sel):
             bucket *= 2
         sel_pad = np.full(bucket, staged.width, np.int32)
