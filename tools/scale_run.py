@@ -336,6 +336,12 @@ def patch_scaling_md(result):
             f"in one jit): {dz['candidates']} sites in {dz['wall_s']}s = "
             f"**{dz['sites_per_s']} sites/s** at {dz['rss_mb']} MB RSS, "
             "row-identical to the device host run",
+            "- device-run RSS caveat: the tunnel runtime leaks ~1x the "
+            "transferred host bytes per transfer (measured with a "
+            "device_put loop, PERF.md \"Host-memory leak\"), so device-run "
+            "RSS grows with total wire bytes -- the fused number above is "
+            "dominated by that environment artifact, not the pipeline's "
+            "working set (see the CPU child's bounded RSS)",
         ]
     lines += [
         "- measured round-robin shard balance from per-chunk joblog "
