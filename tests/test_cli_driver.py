@@ -283,3 +283,22 @@ def test_cli_joblog_and_profile_trace(tmp_path, monkeypatch):
     assert total_cand > 0
     import os
     assert os.path.isdir(prof_dir) and os.listdir(prof_dir)
+
+
+def test_cli_pileup_backend_flag(tmp_path, monkeypatch):
+    """--pileup_backend plumbs from the CLI through the driver to
+    run_calling: 'fused' and 'host' produce identical VCFs, and 'auto' on
+    a CPU-only harness resolves to host without error."""
+    monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
+    fasta, bam, genome, variants = simdata.make_dataset(
+        tmp_path, seed=29, contig_len=6000, n_variants=12, depth=30)
+    outs = {}
+    for backend in ("host", "fused", "auto"):
+        outdir = str(tmp_path / f"out_{backend}")
+        main(["call", "-B", bam, "-R", fasta, "-o", outdir,
+              "--include_all_ctgs", "--print_ref_calls",
+              "--chunk_size", "3000", "--pileup_backend", backend])
+        outs[backend] = _read_vcf_gz(os.path.join(outdir, "output.vcf.gz"))
+    assert len(outs["host"]) > 5
+    assert outs["fused"] == outs["host"]
+    assert outs["auto"] == outs["host"]  # no TPU here -> auto picks host
