@@ -110,3 +110,35 @@ def test_resume_without_manifests_runs_everything(tmp_path, dataset):
     out = _run(dataset, str(tmp_path / "fresh.vcf"),
                str(tmp_path / "m_fresh"), params, resume=True)
     assert len(out) > 100
+
+
+def test_crash_resume_under_fused_backend(tmp_path, monkeypatch, dataset):
+    """Chunk manifests also checkpoint fused-path chunks (whose rows arrive
+    synchronously, not through the inference queue): crash after 4 fused
+    chunks, resume, identical output."""
+    monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", "fused")
+    params = init_params(0)
+    truth = _run(dataset, str(tmp_path / "truth.vcf"),
+                 str(tmp_path / "m_truth"), params)
+
+    import clair3_rna_tpu.ops.fused_pileup as fp
+    calls = []
+    orig = fp.FusedChunkCaller.call_chunk
+
+    def crashing(self, *a, **k):
+        calls.append(1)
+        if len(calls) > 4:
+            raise RuntimeError("injected fused crash")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(fp.FusedChunkCaller, "call_chunk", crashing)
+    mdir = str(tmp_path / "m_crash")
+    with pytest.raises(RuntimeError, match="injected fused crash"):
+        _run(dataset, str(tmp_path / "crashed.vcf"), mdir, params)
+    lines = open(os.path.join(mdir, "chr1.chunks.jsonl")).readlines()
+    assert 1 <= len(lines) <= 4
+
+    monkeypatch.setattr(fp.FusedChunkCaller, "call_chunk", orig)
+    resumed = _run(dataset, str(tmp_path / "resumed.vcf"), mdir, params,
+                   resume=True)
+    assert resumed == truth
