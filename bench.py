@@ -314,6 +314,19 @@ def _bench_fused_device(bam_path, fasta_path, params, cfg):
                 np.asarray(o[0, 0])
             return time.time() - t0
 
+        def _stream_pass():
+            # device-occupancy timing: dispatch every chunk, then fetch ONE
+            # header from the LAST output -- the device stream executes
+            # dispatches in order, so the last result materializing proves
+            # every prior pass completed. Includes exactly one fetch round
+            # trip instead of one PER CHUNK (which is ~25 ms each on a
+            # tunnel and dominated the per-chunk-sync number: measured
+            # 0.17 s stream vs 0.47 s per-chunk-sync on the same passes).
+            t0 = time.time()
+            outs = [caller.fused(*args) for args in staged_dev]
+            float(np.asarray(outs[-1][0])[0])
+            return time.time() - t0
+
         _full_pass()      # warm all bucket shapes
         _windows_pass()
         # best-of-N: the shared 2-vCPU host swings +-30%; dispatch/sync
@@ -322,11 +335,14 @@ def _bench_fused_device(bam_path, fasta_path, params, cfg):
         runs = [_full_pass() for _ in range(n_timed)]
         dt = min(r[0] for r in runs)
         n_cands = runs[0][1]
+        stream_s = min(_stream_pass() for _ in range(n_timed))
         win_s = min(_windows_pass() for _ in range(n_timed))
         return {"n_candidates": n_cands, "n_events": int(n_events),
                 "mode": mode, "scatter": scatter_mode,
                 "device_s": round(dt, 4),
                 "device_s_runs": [round(r[0], 4) for r in runs],
+                "device_stream_s": round(stream_s, 4),
+                "stream_events_per_s": round(n_events / stream_s, 1),
                 "stage_expand_count_gather_s": round(win_s, 4),
                 "stage_mask_network_s_est": round(max(dt - win_s, 0.0), 4),
                 "wire_mb": round(wire_bytes / 1e6, 1),
@@ -482,6 +498,7 @@ def _compact_summary(ours, baseline, vs):
                                      "fused_vcf_identical"),
             "fused_device_only": pick(
                 "fused_device_only", "device_s", "events_per_s",
+                "device_stream_s", "stream_events_per_s",
                 "sites_per_s", "stage_expand_count_gather_s",
                 "stage_mask_network_s_est"),
         },

@@ -28,6 +28,8 @@ tests/test_tilelet.py; the fused pipeline (ops/fused_pileup) selects it on
 TPU via CLAIR3_RNA_TPU_FUSED_SCATTER=auto|pallas|xla.
 """
 
+import os
+
 import numpy as np
 
 LANE = 128
@@ -36,7 +38,12 @@ POS_TILE = 256            # positions per output tile (smaller tiles raise
 #                           the host->HBM wire per aligned base)
 HALF = POS_TILE // 2      # nibble-packed bytes per row / even-odd lane count
 TILE_SHIFT = 8
-ROW_BLOCK = 32            # tilelet rows per visit
+# tilelet rows per visit; env-tunable for on-chip sweeps. Measured on v5e:
+# 32/128/256 are equivalent (best device_s 0.448-0.455 on the bench chunk
+# set) -- the kernel is NOT grid-step-bound at 32, and the apparent
+# per-visit overhead in earlier numbers was tunnel fetch latency, not the
+# kernel (stream-ordered timing: 314 M events/s, PERF.md)
+ROW_BLOCK = int(os.environ.get("CLAIR3_RNA_TPU_TILELET_ROW_BLOCK", "32"))
 C_PAD = 32                # 18 channels padded to a lane-friendly 32
 G_PAD = 8                 # 6 rank groups padded to 8
 RANK_INF_F = float(2 ** 30)
