@@ -233,11 +233,14 @@ def _bench_fused_device(bam_path, fasta_path, params, cfg):
     what the TPU-resident pipeline sustains per chip once the wire arrays
     live in HBM (no host extraction or link transfer in the timed region).
 
-    Timing methodology (unchanged since BENCH_r02): every chunk's jit is
-    dispatched and each result's first scalar is fetched inside the timed
-    region -- on the tunnel-attached chip only materialized host bytes prove
-    execution finished, so per-chunk sync overhead is included. Wire bytes
-    per mode are recorded for the link-bandwidth crossover model (PERF.md).
+    Two timings are recorded (PERF.md "Timing methodology"): device_s
+    fetches each chunk's header inside the timed region (one round trip
+    per chunk, r02-comparable -- mostly link latency on a tunnel), and
+    device_stream_s dispatches everything and syncs once on the LAST
+    output (stream order proves all prior passes completed; this is the
+    device-occupancy number that transfers to chip-local deployments).
+    Wire bytes per mode are recorded for the link-bandwidth crossover
+    model (PERF.md).
     """
     import jax
     import numpy as np
