@@ -170,10 +170,11 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
     os.makedirs(args.output_dir, exist_ok=True)
     _attach_run_log(args.output_dir)
     contigs, bed_regions, known_positions = _resolve_inputs(args)
-    # resolve once up front so --pileup_backend auto probes the link a
-    # single time per run (not per pass)
+    # resolve once up front so --pileup_backend auto probes the link (and
+    # samples coverage) a single time per run (not per pass)
     from clair3_rna_tpu.caller.backend import resolve_backend
-    backend = resolve_backend(getattr(args, "pileup_backend", None))
+    backend = resolve_backend(getattr(args, "pileup_backend", None),
+                              bam_path=args.bam_fn, contigs=contigs)
     args.pileup_backend = backend
 
     mesh = None

@@ -353,7 +353,8 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     # for "auto"). Remaining gates: GVCF runs (which need every covered
     # site's depth host-side anyway) and --debug.
     from clair3_rna_tpu.caller.backend import resolve_backend
-    backend = resolve_backend(pileup_backend)
+    backend = resolve_backend(pileup_backend, bam_path=bam_path,
+                              contigs=contigs)
     fused_caller = None
     fused_counts0 = None
     if (backend == "fused" and not call_cfg.gvcf

@@ -67,8 +67,8 @@ def _add_call_parser(subparsers):
                         "windows only; 'fused' ships packed reads to HBM "
                         "and runs the whole chunk in one jit (right when "
                         "the chip is locally attached); 'auto' probes the "
-                        "host->device link once and picks per the PERF.md "
-                        "crossover model. Default: "
+                        "host->device link once (and samples coverage) and "
+                        "picks per the PERF.md crossover model. Default: "
                         "$CLAIR3_RNA_TPU_PILEUP_BACKEND or 'host'")
     p.add_argument("--fast_mode", action="store_true")
     p.add_argument("--call_snp_only", action="store_true")
@@ -112,8 +112,10 @@ def _add_call_parser(subparsers):
     p.add_argument("--no_device_mesh", action="store_true",
                    help="single-device inference even with multiple devices")
     p.add_argument("--resume", action="store_true",
-                   help="skip contigs already completed in a previous run "
-                        "(per-contig manifests under <output_dir>/tmp)")
+                   help="restore finished contigs and finished chunks of "
+                        "partial contigs from a previous run's manifests "
+                        "under <output_dir>/tmp; only unfinished chunks "
+                        "are redone")
     p.add_argument("--joblog", default=None,
                    help="write a per-chunk timing TSV (the GNU parallel "
                         "--joblog analogue, run_clair3_rna:682); device "

@@ -54,3 +54,39 @@ def test_builder_scatter_env_values_mean_host_pipeline(monkeypatch):
     for v in ("device", "pallas"):
         monkeypatch.setenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", v)
         assert be.resolve_backend(None) == "host"
+
+
+@pytest.mark.parametrize("depth,bam,want", [
+    (14.0, "reads.bam", "fused"),   # the SCALE_RUN-measured win regime
+    (35.0, "reads.bam", "host"),    # bench-measured host win at 35x
+    (14.0, None, "host"),           # no BAM to sample -> conservative
+])
+def test_auto_shallow_coverage_clause(monkeypatch, depth, bam, want):
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(be, "probe_link_bandwidth", lambda nbytes=0: 130e6)
+    monkeypatch.setattr(be, "estimate_mean_depth",
+                        lambda *a, **k: depth)
+    got, reason = be.choose_backend(bam_path=bam)
+    assert got == want
+    if want == "fused":
+        assert "shallow" in reason
+
+
+def test_estimate_mean_depth_on_sim_bam(tmp_path):
+    import random
+
+    from clair3_rna_tpu.io.fasta import write_fasta
+    from tests import simdata
+
+    rng = random.Random(91)
+    genome = simdata.random_genome(rng, [("chr1", 50_000)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=20)
+    fasta = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "reads.bam")
+    write_fasta(fasta, genome)
+    simdata.simulate_bam(bam, genome, variants, rng, depth=14)
+    d = be.estimate_mean_depth(bam)
+    assert d is not None
+    assert 7 <= d <= 28, d  # mid-contig sample lands near nominal 14x
