@@ -14,54 +14,73 @@ decision here is which pileup formulation to run:
   Right when the chip is locally attached: the ship stage drops under the
   host build's wall and the fused path frees the host cores that counting
   would burn (PERF.md crossover model).
-- "auto": probe once and decide (below).
+- "hybrid": decide PER CHUNK. The repo's own measurements prove the right
+  choice is depth-dependent on mid-grade links -- fused wins 1.8x at 14x
+  (SCALE_RUN.json) and loses 2.6x at 260x (BENCH_r04) on the SAME link --
+  and real lrRNA coverage spans 3-4 orders of magnitude within one sample
+  (that is why the reference's renormalization exists,
+  /root/reference/clair3_rna/utils.py:88-92). ChunkRoutePolicy estimates
+  each chunk's aligned-base count from its BAI compressed-byte span
+  (calibrated online against completed chunks) and routes it by a
+  measured-constant cost model; both routes are VCF-row-identical, so any
+  mix merges exactly.
+- "auto": "hybrid" whenever a TPU is present, else "host". (Rounds 3-4
+  used a global link-bandwidth probe plus a sampled mean-depth clause
+  here; per-chunk routing strictly dominates both and made the global
+  depth estimate unnecessary.)
 """
 
 import logging
+import os
 import time
+
+import numpy as np
 
 logger = logging.getLogger(__name__)
 
-# Fused wins when shipping the packed wire is no slower than the host tile
-# build it replaces: ~42 MB/s of wire per host-build-second measured on this
-# class of host (50 MB wire vs ~1 s host build per 1.2 Mb @ 35x chunk set,
-# PERF.md), with ~2x headroom for fetch round trips and contention. Below
-# this the ship stage dominates and the host path's 4.8 MB wire wins;
-# tunnel-grade links (~100-140 MB/s here) sit well below, PCIe/TPU-VM links
-# (>= 8 GB/s) well above.
-FUSED_MIN_LINK_BYTES_PER_S = 1e9
-
-# Shallow-coverage exception: the wire is ~1 B/base of coverage, so at low
-# depth it shrinks while host tile-build fixed costs do not -- measured at
-# whole-genome scale (SCALE_RUN.json, 100 Mb at 14x over a ~130 MB/s
-# tunnel): fused 1646 sites/s vs host 901, row-identical. Gated tightly
-# around that measured point.
-LOW_DEPTH_MIN_LINK_BYTES_PER_S = 100e6
-LOW_DEPTH_MAX_MEAN_COVERAGE = 16.0
-
-
-def estimate_mean_depth(bam_path, contigs=None, samples=4, span=20_000):
-    """Crude mean coverage (bases per reference position, uncovered = 0)
-    from a few mid-contig windows -- enough to gate the backend choice, not
-    a promise (RNA coverage is bursty). None when nothing is sampled."""
-    from clair3_rna_tpu.config import PileupConfig
-    from clair3_rna_tpu.pileup.chunk import open_bam
-    from clair3_rna_tpu.pileup.packed import extract_region_packed
-
-    bam = open_bam(bam_path)
-    names = list(contigs) if contigs else list(bam.references)
-    cfg = PileupConfig()
-    total = n = 0
-    for name in names[:samples]:
-        length = bam.reference_lengths.get(name, 0)
-        if length < span:
-            continue
-        mid = length // 2
-        pk = extract_region_packed(bam, name, mid - span // 2,
-                                   mid + span // 2, cfg)
-        total += int(pk.cover_count.sum())
-        n += len(pk.cover_count)
-    return (total / n) if n else None
+# --- ChunkRoutePolicy cost-model constants -----------------------------------
+# Fitted to MEASURED per-chunk pipeline walls on this class of host (2-vCPU
+# + tunnel v5e: SCALE_RUN.json 14x whole-genome, BENCH_r04 35x/260x) and
+# env-overridable for other deployments. The constants are empirical
+# per-chunk wall coefficients -- they fold build + staging + overlap
+# effects, not isolated stage rates -- and only have to ORDER two costs
+# that differ by integer factors at the regime boundaries:
+#
+#   host_s(chunk)  = H_FIX_S_PER_POS * width + bases / HOST_BUILD_BPS
+#   fused_s(chunk) = FUSED_FIX_S + bases / PACKED_EXTRACT_BPS
+#                    + bases * WIRE_BYTES_PER_BASE / link_bps
+#   route fused iff fused_s <= host_s * FUSED_PREFERENCE
+#
+# Fit checks against the committed measurements (130 MB/s link, 100 kb
+# chunks; "measured" = the round-4 per-chunk walls those artifacts imply):
+#   14x  (1.4 M bases): model host 0.064 / fused 0.046 -> fused
+#        (measured: host 0.074 s/chunk, fused 0.040 -- the 1.8x win)
+#   35x  (3.5 M bases): model host 0.070 / fused 0.101 -> host
+#        (measured: host 0.072 s/chunk, fused 0.098)
+#   260x (26 M bases):  model host 0.134 / fused 0.68  -> host
+#        (measured: host ~0.22 s/chunk, fused ~0.58 -- the 2.6x loss)
+#   chip-local 8 GB/s at 35x: model host 0.070 / fused 0.074 -> fused via
+#        the preference margin (equal walls, but fused frees the host
+#        cores that counting would burn -- the deployment regime the
+#        formulation exists for, PERF.md crossover model)
+H_FIX_S_PER_POS = float(os.environ.get(
+    "CLAIR3_RNA_TPU_HOST_FIX_S_PER_POS", 0.6e-6))
+HOST_BUILD_BPS = float(os.environ.get(
+    "CLAIR3_RNA_TPU_HOST_BUILD_BPS", 350e6))
+PACKED_EXTRACT_BPS = float(os.environ.get(
+    "CLAIR3_RNA_TPU_PACKED_EXTRACT_BPS", 55e6))
+FUSED_FIX_S = float(os.environ.get("CLAIR3_RNA_TPU_FUSED_FIX_S", 0.01))
+FUSED_PREFERENCE = float(os.environ.get(
+    "CLAIR3_RNA_TPU_FUSED_PREFERENCE", 1.25))
+WIRE_BYTES_PER_BASE = float(os.environ.get(
+    "CLAIR3_RNA_TPU_WIRE_BYTES_PER_BASE", 1.0))
+# bases-per-compressed-BAM-byte seed before any chunk has calibrated it.
+# A BAM spends ~0.5 B/base of seq + ~1 B/base of qual + per-read overhead,
+# and BGZF recovers ~30-50% on that mix -- measured ~0.5 bases/cbyte on the
+# test corpus. Refined online with an EWMA as chunks complete, so the seed
+# only steers the first few chunks.
+BASES_PER_CBYTE_SEED = float(os.environ.get(
+    "CLAIR3_RNA_TPU_BASES_PER_CBYTE", 0.6))
 
 
 def probe_link_bandwidth(nbytes=50_000_000):
@@ -71,7 +90,6 @@ def probe_link_bandwidth(nbytes=50_000_000):
     ~50 MB matches the fused path's per-chunk-set wire so TCP windows and
     chunking effects are representative."""
     import jax
-    import numpy as np
 
     buf = np.zeros(nbytes, np.uint8)
     jax.device_put(buf).block_until_ready()  # warm allocator + route
@@ -80,51 +98,144 @@ def probe_link_bandwidth(nbytes=50_000_000):
     return nbytes / max(time.time() - t0, 1e-9)
 
 
-def choose_backend(bam_path=None, contigs=None):
-    """-> (backend, reason) for --pileup_backend auto.
+_LINK_BPS_CACHE = None
 
-    With a bam_path, a few coverage windows are sampled so the measured
-    shallow-coverage fused win (SCALE_RUN.json) is captured on mid-grade
-    links too."""
+
+def cached_link_bandwidth():
+    """probe_link_bandwidth, once per process (the probe ships 100 MB)."""
+    global _LINK_BPS_CACHE
+    if _LINK_BPS_CACHE is None:
+        _LINK_BPS_CACHE = probe_link_bandwidth()
+    return _LINK_BPS_CACHE
+
+
+class ChunkRoutePolicy:
+    """Per-chunk host-vs-fused routing for --pileup_backend hybrid.
+
+    The chunk's aligned-base count is estimated from the compressed BAM
+    bytes its region spans in the BAI (io/bai.py; the same index every
+    fetch uses), scaled by a bases-per-compressed-byte ratio that starts
+    at a measured seed and is EWMA-calibrated from every completed chunk's
+    ACTUAL base count (`observe`), whichever route ran it. The estimate
+    only has to land within ~2x: the regimes it separates differ by 20x+
+    in wire bytes.
+
+    Thread-safe: `route`/`observe` are called from the pipeline's prefetch
+    pool. Routing is intentionally NOT bit-deterministic across runs (the
+    calibration ratio depends on completion order under threading) --
+    both routes emit identical VCF rows, so the merged output is
+    deterministic regardless (tests/test_hybrid_backend.py proves it).
+    """
+
+    def __init__(self, bam_path, link_bps, ref_index):
+        import threading
+
+        from clair3_rna_tpu.io.bai import BaiIndex, index_path_for
+
+        self.link_bps = float(link_bps)
+        self.ref_index = ref_index
+        self.bases_per_cbyte = BASES_PER_CBYTE_SEED
+        self.fused_chunks = 0
+        self.host_chunks = 0
+        self._lock = threading.Lock()
+        self._bai = None
+        bai_path = index_path_for(bam_path) if bam_path else None
+        if bai_path and os.path.exists(bai_path):
+            try:
+                self._bai = BaiIndex.load(bai_path)
+            except Exception:
+                logger.warning("[WARNING] hybrid backend: unreadable BAI "
+                               "index %s; routing all chunks to host",
+                               bai_path)
+
+    @property
+    def usable(self):
+        return self._bai is not None
+
+    def region_cbytes(self, ctg, start, end):
+        """Compressed BAM bytes whose records may overlap [start, end) --
+        the BAI chunk spans' compressed-offset extent (merged)."""
+        rid = self.ref_index.get(ctg)
+        if self._bai is None or rid is None:
+            return None
+        total = 0
+        for vbeg, vend in self._bai.query(rid, start, end):
+            # virtual offset = coffset << 16 | uoffset; spans are merged by
+            # BGZF block already, so coffset deltas do not double-count
+            total += max((vend >> 16) - (vbeg >> 16), 0)
+        return total
+
+    def estimate_bases(self, ctg, start, end):
+        cb = self.region_cbytes(ctg, start, end)
+        if cb is None:
+            return None
+        with self._lock:
+            ratio = self.bases_per_cbyte
+        return cb * ratio
+
+    def route(self, ctg, start, end):
+        """-> "fused" | "host" for one chunk (cost model above)."""
+        bases = self.estimate_bases(ctg, start, end)
+        if bases is None:
+            with self._lock:
+                self.host_chunks += 1
+            return "host"
+        width = end - start
+        host_s = H_FIX_S_PER_POS * width + bases / HOST_BUILD_BPS
+        fused_s = (FUSED_FIX_S + bases / PACKED_EXTRACT_BPS
+                   + bases * WIRE_BYTES_PER_BASE / self.link_bps)
+        choice = "fused" if fused_s <= host_s * FUSED_PREFERENCE else "host"
+        with self._lock:
+            if choice == "fused":
+                self.fused_chunks += 1
+            else:
+                self.host_chunks += 1
+        return choice
+
+    def observe(self, ctg, start, end, actual_bases):
+        """Calibrate bases-per-compressed-byte from a completed chunk."""
+        cb = self.region_cbytes(ctg, start, end)
+        if not cb or actual_bases <= 0:
+            return
+        ratio = actual_bases / cb
+        with self._lock:
+            self.bases_per_cbyte = (0.7 * self.bases_per_cbyte
+                                    + 0.3 * ratio)
+
+    def counters(self):
+        with self._lock:
+            return {"fused_chunks": self.fused_chunks,
+                    "host_chunks": self.host_chunks,
+                    "bases_per_cbyte": round(self.bases_per_cbyte, 3)}
+
+
+def choose_backend():
+    """-> (backend, reason) for --pileup_backend auto."""
     import jax
 
     if jax.default_backend() != "tpu":
         return "host", f"no TPU present (backend={jax.default_backend()})"
-    bw = probe_link_bandwidth()
-    if bw >= FUSED_MIN_LINK_BYTES_PER_S:
-        return "fused", (f"TPU link {bw / 1e9:.2f} GB/s >= "
-                         f"{FUSED_MIN_LINK_BYTES_PER_S / 1e9:.1f} GB/s: "
-                         "chip-local, ship stage under the host-build wall")
-    if bam_path is not None and bw >= LOW_DEPTH_MIN_LINK_BYTES_PER_S:
-        try:
-            depth = estimate_mean_depth(bam_path, contigs)
-        except Exception:
-            depth = None
-        if depth is not None and depth <= LOW_DEPTH_MAX_MEAN_COVERAGE:
-            return "fused", (
-                f"TPU link {bw / 1e6:.0f} MB/s with shallow coverage "
-                f"(~{depth:.0f}x <= {LOW_DEPTH_MAX_MEAN_COVERAGE:.0f}x): "
-                "the ~1 B/base wire stays under the host-build wall "
-                "(measured 1.8x fused win at 14x, SCALE_RUN.json)")
-    return "host", (f"TPU link {bw / 1e6:.0f} MB/s < "
-                    f"{FUSED_MIN_LINK_BYTES_PER_S / 1e9:.1f} GB/s: "
-                    "packed wire would be transfer-bound")
+    return "hybrid", ("TPU present: per-chunk host-vs-fused routing "
+                      "(ChunkRoutePolicy cost model over the probed link; "
+                      "fused measured winning 1.8x at 14x and losing 2.6x "
+                      "at 260x on the same link, SCALE_RUN/BENCH_r04)")
 
 
 def resolve_backend(requested=None, bam_path=None, contigs=None):
     """Final backend from the CLI flag / env var / auto probe.
 
     Precedence: explicit argument, then CLAIR3_RNA_TPU_PILEUP_BACKEND (kept
-    as the operator override), then "host". "auto" probes the link (and,
-    when a bam_path is given, samples coverage) once and logs the
-    decision."""
+    as the operator override), then "host". "auto" picks hybrid on TPU,
+    host elsewhere, and logs the decision. bam_path/contigs are accepted
+    for call-site compatibility (the per-chunk policy reads the BAI itself
+    inside run_calling)."""
     import os
 
     backend = (requested
                or os.environ.get("CLAIR3_RNA_TPU_PILEUP_BACKEND")
                or "host")
     if backend == "auto":
-        backend, reason = choose_backend(bam_path=bam_path, contigs=contigs)
+        backend, reason = choose_backend()
         logger.info("[INFO] pileup backend auto-selected: %s (%s)",
                     backend, reason)
     if backend in ("device", "pallas"):
@@ -132,7 +243,7 @@ def resolve_backend(requested=None, bam_path=None, contigs=None):
         # (pileup/builder._pileup_backend reads the same env var); at the
         # pipeline level they mean "not the fused formulation"
         return "host"
-    if backend not in ("host", "fused"):
+    if backend not in ("host", "fused", "hybrid"):
         raise ValueError(f"bad pileup backend: {backend!r} "
-                         "(expected auto|host|fused)")
+                         "(expected auto|host|fused|hybrid)")
     return backend

@@ -108,6 +108,7 @@ class CallStats:
     infer_s: float = 0.0
     decode_s: float = 0.0
     fused: dict | None = None  # fused-path telemetry (renorm/hatch/fallback)
+    routing: dict | None = None  # hybrid per-chunk routing telemetry
 
 
 from collections import OrderedDict
@@ -349,21 +350,33 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     # host float64 scale (FusedChunkCaller._renorm_records); isolated
     # splice-trigger candidates rebuild host-side (_hatch_records); only
     # overflow / clustered-trigger chunks fall back wholesale. Selected by
-    # --pileup_backend auto|host|fused (caller/backend.py probes the link
-    # for "auto"). Remaining gates: GVCF runs (which need every covered
-    # site's depth host-side anyway) and --debug.
-    from clair3_rna_tpu.caller.backend import resolve_backend
+    # --pileup_backend auto|host|fused|hybrid; "hybrid" routes each chunk
+    # independently through ChunkRoutePolicy's BAI-byte cost model (both
+    # routes are row-identical, so any mix merges exactly). Remaining
+    # gates: GVCF runs (which need every covered site's depth host-side
+    # anyway) and --debug.
+    from clair3_rna_tpu.caller.backend import (ChunkRoutePolicy,
+                                               cached_link_bandwidth,
+                                               resolve_backend)
     backend = resolve_backend(pileup_backend, bam_path=bam_path,
                               contigs=contigs)
     fused_caller = None
     fused_counts0 = None
-    if (backend == "fused" and not call_cfg.gvcf
+    route_policy = None
+    if (backend in ("fused", "hybrid") and not call_cfg.gvcf
             and not call_cfg.debug and params is not None):
         fused_caller = _get_fused_caller(
             params, cfg, call_cfg,
             known_only=known_vcf_positions is not None,
             with_masks=bed_regions is not None)
         fused_counts0 = fused_caller.counters()
+        if backend == "hybrid":
+            route_policy = ChunkRoutePolicy(bam_path,
+                                            cached_link_bandwidth(),
+                                            getattr(bam, "ref_index", {}))
+            if not route_policy.usable:
+                logger.info("[INFO] hybrid backend: no BAI index -> all "
+                            "chunks on the host route")
 
     # build prefetch: the host builds chunk i+1 (C++ + numpy, GIL-releasing)
     # while the device runs inference on chunk i -- the in-process analogue of
@@ -393,6 +406,9 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         if fused_caller.mode == "packed":
             data = extract_region_packed(bam, task.ctg_name, row_lo, row_hi,
                                          cfg)
+            if route_policy is not None:
+                route_policy.observe(task.ctg_name, task.start, task.end,
+                                     data.n_base)
         else:
             data = extract_region_events(bam, task.ctg_name, row_lo, row_hi,
                                          cfg)
@@ -429,7 +445,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
 
     def build_one(task):
         t0 = time.time()
-        if fused_caller is not None:
+        if fused_caller is not None and (
+                route_policy is None
+                or route_policy.route(task.ctg_name, task.start,
+                                      task.end) == "fused"):
             fused_out = fused_one(task)
             if fused_out is not None:
                 return ("rows",) + fused_out, time.time() - t0
@@ -438,6 +457,11 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             known_positions=known_vcf_positions.get(task.ctg_name)
             if known_vcf_positions else None,
             bed_regions=bed_regions, return_features=True)
+        if route_policy is not None and out[1] is not None:
+            # calibrate the byte->base ratio from host-routed chunks too
+            # (depth = ACGT + star entries, a close proxy for aligned bases)
+            route_policy.observe(task.ctg_name, task.start, task.end,
+                                 int(out[1].depth.sum()))
         return ("records", out), time.time() - t0
 
     # two workers keep two chunk builds in flight: the C++ tile builder and
@@ -458,7 +482,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     def drain_one():
         rows = collect_rows(in_flight.popleft(), call_cfg, stats)
         for row in rows:
-            rows_by_contig.setdefault(row.split("\t", 1)[0], []).append(row)
+            ctg = row.split("\t", 1)[0]
+            rows_by_contig.setdefault(ctg, []).append(row)
+            if manifest_dir:
+                bucket_row(ctg, row)
 
     def pump(force=False):
         while len(queue_records) >= cfg.batch_size:
@@ -476,7 +503,20 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             while in_flight:
                 drain_one()
 
+    import hashlib
     import json
+
+    # manifests are only resumable under the SAME calling configuration: a
+    # different model / decode config / candidate source would make restored
+    # rows silently wrong (advisor r04). The signature covers everything
+    # that changes row content; chunk GEOMETRY is validated separately
+    # against the planned task list (so a changed --chunk_size discards
+    # stale ranges instead of restoring overlapping rows).
+    cfg_sig = hashlib.sha1(repr((
+        repr(cfg), repr(call_cfg),
+        sorted(known_vcf_positions) if known_vcf_positions else None,
+        bed_regions is not None,
+    )).encode()).hexdigest()[:12]
 
     def manifest_path(ctg):
         return os.path.join(manifest_dir, f"{ctg}.done.json")
@@ -487,12 +527,15 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     def load_manifest(ctg):
         try:
             with open(manifest_path(ctg)) as f:
-                return json.load(f)
+                payload = json.load(f)
         except Exception:
             return None
+        if payload.get("config") != cfg_sig:
+            return None  # written under a different run config: redo
+        return payload
 
     def save_manifest(ctg):
-        payload = {"rows": rows_by_contig.get(ctg, [])}
+        payload = {"rows": rows_by_contig.get(ctg, []), "config": cfg_sig}
         if gvcf_enabled:
             payload["gvcf"] = gvcf_rows_for(ctg)
         tmp = manifest_path(ctg) + ".tmp"
@@ -505,10 +548,12 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         except OSError:
             pass
 
-    def load_chunk_manifest(ctg):
+    def load_chunk_manifest(ctg, planned):
         """{(start, end): payload} from the per-chunk line file; tolerates a
         torn trailing line (crash mid-append) and duplicate lines from
-        repeated crash/resume cycles (first complete line wins)."""
+        repeated crash/resume cycles (first complete line wins). Entries
+        whose geometry is not in `planned` or whose config signature
+        differs are discarded (stale --chunk_size / flags, advisor r04)."""
         entries = {}
         try:
             with open(chunks_path(ctg)) as f:
@@ -519,13 +564,17 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                         rec = json.loads(line)
                     except ValueError:
                         break
+                    if rec.get("config") != cfg_sig:
+                        continue
+                    if (ctg, rec["start"], rec["end"]) not in planned:
+                        continue
                     entries.setdefault((rec["start"], rec["end"]), rec)
         except OSError:
             pass
         return entries
 
     def append_chunk_manifest(ctg, start, end, rows, gvcf_rows):
-        rec = {"start": start, "end": end, "rows": rows}
+        rec = {"start": start, "end": end, "rows": rows, "config": cfg_sig}
         if gvcf_enabled:
             rec["gvcf"] = gvcf_rows or []
         with open(chunks_path(ctg), "a") as f:
@@ -536,13 +585,31 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
     # Built chunks enter pending_manifest in build (= genomic) order; the
     # drain frontier is the smallest still-undecoded candidate position per
     # contig, so a chunk is complete exactly when the frontier passes its
-    # end (rows are then attributed back to chunks by position).
+    # end. Rows are attributed to chunks at APPEND time (bisect into the
+    # planned chunk bounds) instead of re-scanning the contig's whole
+    # accumulated row list per flush, which grew O(chunks x total_rows) on
+    # large contigs (advisor r04).
     pending_manifest: dict = {}  # ctg -> deque[(start, end)]
+    chunk_rows: dict = {}        # (ctg, start) -> [row, ...]
+    bounds_by_ctg: dict = {}     # ctg -> sorted [(start, end), ...]
 
     def note_built(task):
         if manifest_dir:
             pending_manifest.setdefault(task.ctg_name, deque()).append(
                 (task.start, task.end))
+
+    def bucket_row(ctg, row):
+        """Attribute a freshly decoded row to its planned chunk (halo
+        duplicates land wherever their position falls, exactly as the old
+        position re-scan attributed them)."""
+        from bisect import bisect_right
+        b = bounds_by_ctg.get(ctg)
+        if not b:
+            return
+        pos0 = int(row.split("\t", 2)[1]) - 1
+        i = bisect_right(b, (pos0, 1 << 62)) - 1
+        if i >= 0 and b[i][0] <= pos0 < b[i][1]:
+            chunk_rows.setdefault((ctg, b[i][0]), []).append(row)
 
     def flush_chunk_manifests(final=False):
         if not manifest_dir:
@@ -561,9 +628,8 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             fr = frontier.get(ctg)
             while dq and (fr is None or dq[0][1] <= fr):
                 s, e = dq.popleft()
-                rows = [r for r in rows_by_contig.get(ctg, [])
-                        if s <= int(r.split("\t", 2)[1]) - 1 < e]
-                append_chunk_manifest(ctg, s, e, rows,
+                append_chunk_manifest(ctg, s, e,
+                                      chunk_rows.pop((ctg, s), []),
                                       gvcf_by_chunk.get((ctg, s)))
 
     if manifest_dir:
@@ -584,10 +650,13 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                                     "manifest (%d rows)", ctg,
                                     len(payload["rows"]))
             tasks = [t for t in tasks if t.ctg_name not in skip_ctgs]
-            # chunk-granular restore for contigs that did not finish
+            # chunk-granular restore for contigs that did not finish;
+            # entries are validated against the PLANNED geometry (a changed
+            # --chunk_size or region set must not restore stale ranges)
+            planned = {(t.ctg_name, t.start, t.end) for t in tasks}
             done_chunks = set()
             for ctg in sorted({t.ctg_name for t in tasks}):
-                entries = load_chunk_manifest(ctg)
+                entries = load_chunk_manifest(ctg, planned)
                 if gvcf_enabled:
                     entries = {k: rec for k, rec in entries.items()
                                if "gvcf" in rec}
@@ -612,13 +681,22 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             tasks = [t for t in tasks
                      if (t.ctg_name, t.start, t.end) not in done_chunks]
         else:
-            # fresh run: stale chunk lines from an earlier attempt must not
-            # survive into this run's append-only files
+            # fresh run: stale chunk lines AND contig manifests from an
+            # earlier attempt must not survive into this run's files (a
+            # stale {ctg}.done.json would otherwise be silently preferred
+            # over this run's chunk lines on a later resume, advisor r04)
             for ctg in {t.ctg_name for t in tasks}:
-                try:
-                    os.remove(chunks_path(ctg))
-                except OSError:
-                    pass
+                for stale in (chunks_path(ctg), manifest_path(ctg)):
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
+    if manifest_dir:
+        for t in tasks:
+            bounds_by_ctg.setdefault(t.ctg_name, []).append(
+                (t.start, t.end))
+        for b in bounds_by_ctg.values():
+            b.sort()
 
     joblog_f = None
     if joblog:
@@ -651,8 +729,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 stats.candidates += n_fused
                 stats.rows += len(fused_rows)
                 for row in fused_rows:
-                    rows_by_contig.setdefault(
-                        row.split("\t", 1)[0], []).append(row)
+                    ctg = row.split("\t", 1)[0]
+                    rows_by_contig.setdefault(ctg, []).append(row)
+                    if manifest_dir:
+                        bucket_row(ctg, row)
                 note_built(task)
                 contig_done = (i + 1 == len(tasks)
                                or tasks[i + 1].ctg_name != task.ctg_name)
@@ -716,6 +796,8 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         # run via the process-level cache
         stats.fused = {k: v - fused_counts0[k]
                        for k, v in fused_caller.counters().items()}
+    if route_policy is not None:
+        stats.routing = route_policy.counters()
     if gvcf_enabled:
         gvcf_rows_by_contig = {ctg: gvcf_rows_for(ctg)
                                for ctg in {k[0] for k in gvcf_by_chunk}}
@@ -742,4 +824,10 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 stats.fused["hatch_candidates"], stats.fused["hatch_chunks"],
                 stats.fused["overflow_retries"],
                 stats.fused["fallback_chunks"])
+        if stats.routing is not None:
+            logger.info(
+                "hybrid routing: %d chunks fused, %d host "
+                "(calibrated %.2f bases/compressed-byte)",
+                stats.routing["fused_chunks"], stats.routing["host_chunks"],
+                stats.routing["bases_per_cbyte"])
     return outputs, stats

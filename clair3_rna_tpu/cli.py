@@ -60,15 +60,18 @@ def _add_call_parser(subparsers):
                    help="GQ bin width for GVCF non-variant blocks")
     p.add_argument("--bp_resolution", action="store_true",
                    help="emit per-base GVCF records instead of blocks")
-    p.add_argument("--pileup_backend", choices=["auto", "host", "fused"],
+    p.add_argument("--pileup_backend",
+                   choices=["auto", "host", "fused", "hybrid"],
                    default=None,
                    help="pileup formulation: 'host' builds the count image "
                         "on the host C++ tile builder and ships candidate "
                         "windows only; 'fused' ships packed reads to HBM "
                         "and runs the whole chunk in one jit (right when "
-                        "the chip is locally attached); 'auto' probes the "
-                        "host->device link once (and samples coverage) and "
-                        "picks per the PERF.md crossover model. Default: "
+                        "the chip is locally attached); 'hybrid' routes "
+                        "each chunk host-vs-fused from its BAI byte span "
+                        "and the probed link (PERF.md cost model; mixed-"
+                        "coverage RNA contains both win regimes at once); "
+                        "'auto' = hybrid on TPU, host elsewhere. Default: "
                         "$CLAIR3_RNA_TPU_PILEUP_BACKEND or 'host'")
     p.add_argument("--fast_mode", action="store_true")
     p.add_argument("--call_snp_only", action="store_true")

@@ -1,4 +1,7 @@
-"""--pileup_backend auto|host|fused resolution (caller/backend.py)."""
+"""--pileup_backend auto|host|fused|hybrid resolution + per-chunk routing
+(caller/backend.py)."""
+
+import random
 
 import pytest
 
@@ -9,6 +12,7 @@ def test_explicit_choice_passthrough(monkeypatch):
     monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
     assert be.resolve_backend("host") == "host"
     assert be.resolve_backend("fused") == "fused"
+    assert be.resolve_backend("hybrid") == "hybrid"
     assert be.resolve_backend(None) == "host"  # default
 
 
@@ -26,24 +30,18 @@ def test_bad_value_rejected(monkeypatch):
 
 
 def test_auto_without_tpu_picks_host(monkeypatch):
-    # the test harness runs CPU JAX, so the probe short-circuits: no chip,
-    # no fused path
+    # the test harness runs CPU JAX, so auto short-circuits: no chip,
+    # no fused formulation
     monkeypatch.delenv("CLAIR3_RNA_TPU_PILEUP_BACKEND", raising=False)
     assert be.resolve_backend("auto") == "host"
 
 
-@pytest.mark.parametrize("bw,want", [
-    (139e6, "host"),     # this environment's tunnel-grade link
-    (0.5e9, "host"),     # below the crossover
-    (8e9, "fused"),      # TPU-VM-class local attachment
-])
-def test_auto_crossover_threshold(monkeypatch, bw, want):
+def test_auto_on_tpu_picks_hybrid(monkeypatch):
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(be, "probe_link_bandwidth", lambda nbytes=0: bw)
     got, reason = be.choose_backend()
-    assert got == want
+    assert got == "hybrid"
     assert reason  # the decision is explained in the log line
 
 
@@ -56,37 +54,83 @@ def test_builder_scatter_env_values_mean_host_pipeline(monkeypatch):
         assert be.resolve_backend(None) == "host"
 
 
-@pytest.mark.parametrize("depth,bam,want", [
-    (14.0, "reads.bam", "fused"),   # the SCALE_RUN-measured win regime
-    (35.0, "reads.bam", "host"),    # bench-measured host win at 35x
-    (14.0, None, "host"),           # no BAM to sample -> conservative
-])
-def test_auto_shallow_coverage_clause(monkeypatch, depth, bam, want):
-    import jax
-
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(be, "probe_link_bandwidth", lambda nbytes=0: 130e6)
-    monkeypatch.setattr(be, "estimate_mean_depth",
-                        lambda *a, **k: depth)
-    got, reason = be.choose_backend(bam_path=bam)
-    assert got == want
-    if want == "fused":
-        assert "shallow" in reason
-
-
-def test_estimate_mean_depth_on_sim_bam(tmp_path):
-    import random
-
+def _sim_bam(tmp_path, depth=14, extra_regions=None, length=120_000):
+    from clair3_rna_tpu.io.bai import build_index
     from clair3_rna_tpu.io.fasta import write_fasta
     from tests import simdata
 
     rng = random.Random(91)
-    genome = simdata.random_genome(rng, [("chr1", 50_000)])
-    variants = simdata.plant_variants(rng, genome, n_per_contig=20)
+    genome = simdata.random_genome(rng, [("chr1", length)])
+    variants = simdata.plant_variants(rng, genome, n_per_contig=30)
     fasta = str(tmp_path / "ref.fa")
     bam = str(tmp_path / "reads.bam")
     write_fasta(fasta, genome)
-    simdata.simulate_bam(bam, genome, variants, rng, depth=14)
-    d = be.estimate_mean_depth(bam)
-    assert d is not None
-    assert 7 <= d <= 28, d  # mid-contig sample lands near nominal 14x
+    simdata.simulate_bam(bam, genome, variants, rng, depth=depth,
+                         extra_regions=extra_regions)
+    build_index(bam)
+    return fasta, bam
+
+
+class TestChunkRoutePolicy:
+    def _policy(self, bam, link_bps=130e6):
+        return be.ChunkRoutePolicy(bam, link_bps, {"chr1": 0})
+
+    def test_estimates_track_depth(self, tmp_path):
+        """The BAI byte span of a deep island reads ~10x a shallow span."""
+        fasta, bam = _sim_bam(
+            tmp_path, depth=14,
+            extra_regions={"chr1": [(60_000, 100_000, 200)]})
+        pol = self._policy(bam)
+        assert pol.usable
+        shallow = pol.estimate_bases("chr1", 0, 40_000)
+        deep = pol.estimate_bases("chr1", 60_000, 100_000)
+        assert deep > 5 * shallow
+        # the absolute estimate lands within ~2x of truth (depth * width)
+        # even before calibration -- all the 20x regime split needs
+        assert 0.4 * 14 * 40_000 < shallow < 2.5 * 14 * 40_000
+
+    def test_routing_follows_the_measured_regimes(self, tmp_path):
+        """On a tunnel-grade link: shallow chunks -> fused (the measured
+        1.8x win at 14x, SCALE_RUN.json), deep chunks -> host (the
+        measured 2.6x loss at 260x, BENCH_r04)."""
+        fasta, bam = _sim_bam(
+            tmp_path, depth=14,
+            extra_regions={"chr1": [(60_000, 100_000, 246)]})
+        pol = self._policy(bam, link_bps=130e6)
+        assert pol.route("chr1", 0, 40_000) == "fused"
+        assert pol.route("chr1", 60_000, 100_000) == "host"
+        c = pol.counters()
+        assert c["fused_chunks"] == 1 and c["host_chunks"] == 1
+
+    def test_chip_local_link_fuses_moderate_depth(self, tmp_path):
+        """At 8 GB/s the ship stage is ~free: 35x routes fused (the
+        deployment regime the formulation exists for)."""
+        fasta, bam = _sim_bam(tmp_path, depth=35)
+        pol = self._policy(bam, link_bps=8e9)
+        assert pol.route("chr1", 0, 100_000) == "fused"
+
+    def test_slow_link_routes_host(self, tmp_path):
+        """On a slow link the wire cannot pay for itself at moderate+
+        depth (at very shallow depth the host build's fixed cost keeps
+        the decision genuinely marginal, so 35x is the clear regime)."""
+        fasta, bam = _sim_bam(tmp_path, depth=35)
+        pol = self._policy(bam, link_bps=30e6)
+        assert pol.route("chr1", 0, 100_000) == "host"
+
+    def test_calibration_converges_on_truth(self, tmp_path):
+        fasta, bam = _sim_bam(tmp_path, depth=20)
+        pol = self._policy(bam)
+        truth = 20 * 100_000
+        for _ in range(12):
+            pol.observe("chr1", 0, 100_000, truth)
+        est = pol.estimate_bases("chr1", 0, 100_000)
+        assert abs(est - truth) / truth < 0.05
+
+    def test_missing_index_degrades_to_host(self, tmp_path):
+        import os
+
+        fasta, bam = _sim_bam(tmp_path, depth=14)
+        os.remove(bam + ".bai")
+        pol = self._policy(bam)
+        assert not pol.usable
+        assert pol.route("chr1", 0, 100_000) == "host"
