@@ -214,26 +214,73 @@ def run_full_calling(args, cfg, call_cfg: CallConfig):
         outputs += run_phasing_pass(args, cfg, call_cfg, contigs, outputs[0])
     if getattr(args, "remove_intermediate_dir", False):
         import shutil
-        tmp_dir = os.path.join(args.output_dir, "tmp")
-        if os.path.isdir(tmp_dir):
-            shutil.rmtree(tmp_dir)
-            logger.info("[INFO] removed intermediate directory %s", tmp_dir)
+        for sub in ("tmp", "tmp_phased"):
+            tmp_dir = os.path.join(args.output_dir, sub)
+            if os.path.isdir(tmp_dir):
+                shutil.rmtree(tmp_dir)
+                logger.info("[INFO] removed intermediate directory %s",
+                            tmp_dir)
     return outputs
 
 
 def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
     """Second pass: phase first-pass hets, haplotag reads, re-call with the
-    30-channel phasing model (run_clair3_rna:729-852)."""
-    from clair3_rna_tpu.phasing.pipeline import phase_and_haplotag
+    30-channel phasing model (run_clair3_rna:729-852).
+
+    Resumable at two grains, matching the reference's step 3-6 --skip_steps
+    (run_clair3_rna:855-867): the phase+haplotag step is skipped when its
+    tagged BAM and completion marker (stamped with the first-pass VCF's
+    identity) already exist, and the re-call itself checkpoints per chunk
+    into <output_dir>/tmp_phased exactly like the first pass."""
+    import hashlib
+    import json
     import os
 
+    from clair3_rna_tpu.phasing.pipeline import phase_and_haplotag
+
     tagged_bam = os.path.join(args.output_dir, "phased_tagged.bam")
-    phase_and_haplotag(args.bam_fn, args.ref_fn, first_pass_vcf, tagged_bam,
-                       phaser=getattr(args, "phaser", "builtin"),
-                       whatshap=getattr(args, "whatshap", "whatshap"),
-                       longphase=getattr(args, "longphase", "longphase"),
-                       platform=getattr(args, "platform", "ont"),
-                       contigs=contigs)
+    marker = tagged_bam + ".done.json"
+    # identity = the first-pass VCF's BODY content (the header carries
+    # ##cmdline, which legitimately differs between a run and its resume;
+    # a resume regenerates byte-identical rows, so the body hash is stable
+    # exactly when re-phasing would be redundant)
+    body = hashlib.sha1()
+    opener = __import__("gzip").open if first_pass_vcf.endswith(".gz") \
+        else open
+    with opener(first_pass_vcf, "rb") as f:
+        for line in f:
+            if not line.startswith(b"#"):
+                body.update(line)
+    stamp = {
+        "first_pass_vcf": os.path.abspath(first_pass_vcf),
+        "vcf_body_sha1": body.hexdigest(),
+        "phaser": getattr(args, "phaser", "builtin"),
+        "contigs": hashlib.sha1(
+            ",".join(contigs).encode()).hexdigest()[:12],
+    }
+    resume = getattr(args, "resume", False)
+    done = None
+    if resume and os.path.exists(marker) and os.path.exists(tagged_bam):
+        try:
+            with open(marker) as f:
+                done = json.load(f)
+        except Exception:
+            done = None
+    if done == stamp:
+        logger.info("[INFO] resume: phase+haplotag step restored "
+                    "(tagged BAM %s up to date)", tagged_bam)
+    else:
+        phase_and_haplotag(
+            args.bam_fn, args.ref_fn, first_pass_vcf, tagged_bam,
+            phaser=getattr(args, "phaser", "builtin"),
+            whatshap=getattr(args, "whatshap", "whatshap"),
+            longphase=getattr(args, "longphase", "longphase"),
+            platform=getattr(args, "platform", "ont"),
+            contigs=contigs)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stamp, f)
+        os.replace(tmp, marker)  # atomic: BAM is complete when marker lands
     phased_cfg = cfg.with_(phased=True)
     mesh = None
     if not getattr(args, "no_device_mesh", False):
@@ -248,6 +295,7 @@ def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
     output_path = os.path.join(args.output_dir, prefix + "_enable_phasing.vcf")
     rediportal_path = args.readiportal_source_fn \
         if args.tag_variant_using_readiportal else None
+    joblog = getattr(args, "joblog", None)
     outputs, _ = run_calling(
         tagged_bam, args.ref_fn, output_path,
         cfg=phased_cfg, call_cfg=call_cfg, params=params, forward=forward,
@@ -256,6 +304,9 @@ def run_phasing_pass(args, cfg, call_cfg, contigs, first_pass_vcf):
         output_no_tagging_path=os.path.join(
             args.output_dir, prefix + "_no_tagging_enable_phasing.vcf"),
         sample_name=args.sample_name, compress=not args.no_compress,
+        manifest_dir=os.path.join(args.output_dir, "tmp_phased"),
+        resume=resume,
+        joblog=(joblog + ".phased") if joblog else None,
         pileup_backend=getattr(args, "pileup_backend", None))
     logger.info("[INFO] phasing-model calling finished: %s", ", ".join(outputs))
     return outputs
