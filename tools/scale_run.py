@@ -115,18 +115,28 @@ if mode == "full":
     n = stats.candidates
 else:
     from clair3_rna_tpu.parallel.distributed import (merge_shards,
-                                                     run_sharded_calling)
+                                                     run_sharded_calling,
+                                                     run_shards_with_retry)
     n_shards = int(mode)
-    n = 0
     shard_walls = []
-    for shard_id in range(n_shards):
+    crash_shard = int(os.environ.get("SCALE_RUN_CRASH_SHARD", "-1"))
+    crashed = []
+
+    def one_shard(shard_id, resume):
         t1 = time.time()
         st = run_sharded_calling(
             bam_path, fasta, outdir, cfg=cfg, call_cfg=call_cfg,
             params=params, forward=forward, contigs=None,
-            n_shards=n_shards, shard_id=shard_id, chunk_size={chunk_size})
+            n_shards=n_shards, shard_id=shard_id, chunk_size={chunk_size},
+            resume=resume)
+        if shard_id == crash_shard and not crashed:
+            crashed.append(1)  # injected post-manifest crash (retry proof)
+            raise RuntimeError("injected shard crash")
         shard_walls.append(time.time() - t1)
-        n += st.candidates
+        return st
+
+    stats_list = run_shards_with_retry(one_shard, n_shards)
+    n = sum(st.candidates for st in stats_list)
     merge_shards(outdir, n_shards, os.path.join(outdir, "merged.vcf"),
                  show_ref=False, qual_cutoff=cfg.effective_qual_cutoff,
                  reference_file_path=fasta, compress=False)
@@ -200,24 +210,47 @@ def device_available():
     return probe.returncode == 0 and probe.stdout.strip() not in ("cpu", "")
 
 
-def shard_balance_from_joblog(joblog_path, shard_counts=(8, 16, 32)):
-    """Measured per-chunk build seconds -> round-robin shard balance."""
-    times = []
+def shard_balance_from_joblog(joblog_path, bam_path,
+                              shard_counts=(8, 16, 32)):
+    """Measured per-chunk build seconds -> shard balance under BOTH
+    assignment policies: round-robin (the r02-r04 baseline) and the
+    BAI-cost LPT that run_sharded_calling now uses. LPT assignments come
+    from the same estimate_chunk_costs the shards would compute; the times
+    they aggregate are the MEASURED joblog walls, so the efficiency is a
+    measurement of the policy, not of the estimator."""
+    from clair3_rna_tpu.parallel.distributed import (estimate_chunk_costs,
+                                                     shard_tasks_lpt)
+    from clair3_rna_tpu.pileup.chunk import ChunkTask
+
+    times, tasks = [], []
     with open(joblog_path) as f:
         next(f)
         for line in f:
             cols = line.rstrip("\n").split("\t")
+            tasks.append(ChunkTask(cols[0], int(cols[1]), int(cols[2])))
             times.append(float(cols[4]))
+    costs = estimate_chunk_costs(bam_path, tasks)
+    idx = list(range(len(times)))
     out = {}
     for n in shard_counts:
-        shard_time = [sum(times[i::n]) for i in range(n)]
-        mean = sum(shard_time) / n
-        out[n] = {
-            "chunks": len(times),
-            "mean_s": round(mean, 2),
-            "max_s": round(max(shard_time), 2),
-            "efficiency": round(mean / max(shard_time), 4),
-        }
+        policies = {"round_robin": [idx[i::n] for i in range(n)]}
+        if costs is not None:
+            policies["lpt"] = [shard_tasks_lpt(idx, n, s, costs)
+                               for s in range(n)]
+        entry = {"chunks": len(times)}
+        for name, shards in policies.items():
+            shard_time = [sum(times[i] for i in ids) for ids in shards]
+            mean = sum(shard_time) / n
+            entry[name] = {
+                "mean_s": round(mean, 2),
+                "max_s": round(max(shard_time), 2),
+                "efficiency": round(mean / max(shard_time), 4),
+            }
+        # headline = the policy the product actually uses
+        head = entry.get("lpt") or entry["round_robin"]
+        entry.update(mean_s=head["mean_s"], max_s=head["max_s"],
+                     efficiency=head["efficiency"])
+        out[n] = entry
     return out
 
 
@@ -274,7 +307,7 @@ def main():
               file=sys.stderr)
 
     balance = shard_balance_from_joblog(
-        os.path.join(workdir, "full", "joblog.tsv"))
+        os.path.join(workdir, "full", "joblog.tsv"), bam)
     result = {
         "dataset": {
             "contigs": N_CONTIGS, "contig_len": CONTIG_LEN,
@@ -344,15 +377,17 @@ def patch_scaling_md(result):
             "working set (see the CPU child's bounded RSS)",
         ]
     lines += [
-        "- measured round-robin shard balance from per-chunk joblog "
-        "timings:",
+        "- measured shard balance from per-chunk joblog timings, under the "
+        "product's BAI-cost LPT assignment vs the old round-robin:",
         "",
-        "| shards | mean shard s | max shard s | efficiency |",
+        "| shards | LPT efficiency | round-robin efficiency | "
+        "LPT max shard s |",
         "|---|---|---|---|",
     ]
     for n, b in bal.items():
-        lines.append(f"| {n} | {b['mean_s']} | {b['max_s']} | "
-                     f"{b['efficiency']:.3f} |")
+        rr = b.get("round_robin", {}).get("efficiency", b["efficiency"])
+        lines.append(f"| {n} | {b['efficiency']:.3f} | {rr:.3f} | "
+                     f"{b['max_s']} |")
     lines.append("")
     block = "\n".join(lines)
     text = open(path).read() if os.path.exists(path) else "# SCALING\n"
