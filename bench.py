@@ -31,7 +31,8 @@ N_TIMED_RUNS = 5  # report best AND median (the 2-vCPU host is noisy)
 DATA_DIR = os.path.join(REPO, ".bench_data")  # regenerable, gitignored
 
 
-def _dataset(tag, contig_len, depth, n_variants, splice=True):
+def _dataset(tag, contig_len, depth, n_variants, splice=True,
+             extra_regions=None):
     """Build (or reuse from .bench_data) one synthetic dataset."""
     from tests import simdata
     from clair3_rna_tpu.io.fasta import write_fasta
@@ -57,7 +58,8 @@ def _dataset(tag, contig_len, depth, n_variants, splice=True):
     mid = contig_len // 2
     simdata.simulate_bam(
         os.path.join(tmp, "reads.bam"), genome, variants, rng, depth=depth,
-        splice_sites={"chr1": [(mid - 2000, mid + 3000)]} if splice else None)
+        splice_sites={"chr1": [(mid - 2000, mid + 3000)]} if splice else None,
+        extra_regions=extra_regions)
     shutil.rmtree(d, ignore_errors=True)
     os.rename(tmp, d)
     return fasta_path, bam_path
@@ -68,6 +70,7 @@ def make_data(tmpdir=None):
 
 
 WEIGHTS = os.path.join(REPO, "BENCH_WEIGHTS.npz")
+WEIGHTS_PHASED = os.path.join(REPO, "BENCH_WEIGHTS_PHASED.npz")
 
 
 def get_trained_params():
@@ -115,6 +118,54 @@ def get_trained_params():
                   "--max_epochs", "40", "--batch_size", "256",
                   "--no_indel_length"])
     return load_params(WEIGHTS)
+
+
+def get_trained_phased_params():
+    """Trained 30-channel weights for the phased bench (one-time cache).
+
+    Trains on a haplotagged synthetic dataset (tensor2bin --phased ->
+    train --phased), disjoint seed from every timed dataset -- same
+    rationale as get_trained_params: a trained model makes the homRef
+    prescreen representative."""
+    from clair3_rna_tpu.models.params_io import load_params
+
+    if os.path.exists(WEIGHTS_PHASED):
+        return load_params(WEIGHTS_PHASED)
+
+    import tempfile
+    from clair3_rna_tpu.cli import main as cli_main
+
+    print("[bench] training phased bench weights (one-time, cached)...",
+          file=sys.stderr)
+    with tempfile.TemporaryDirectory() as tdir:
+        from tests import simdata
+        from clair3_rna_tpu.io.fasta import write_fasta
+
+        rng = random.Random(778)
+        genome = simdata.random_genome(rng, [("chr1", 300_000)])
+        variants = simdata.plant_variants(rng, genome, n_per_contig=900,
+                                          het_genotypes=((0, 1), (1, 0)))
+        fasta_path = os.path.join(tdir, "ref.fa")
+        bam_path = os.path.join(tdir, "reads.bam")
+        truth_path = os.path.join(tdir, "truth.vcf")
+        write_fasta(fasta_path, genome)
+        simdata.simulate_bam(bam_path, genome, variants, rng, depth=35,
+                             with_hp=True)
+        with open(truth_path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                    "FILTER\tINFO\tFORMAT\tSAMPLE\n")
+            for v in variants["chr1"]:
+                gt = "1/1" if v.genotype == (1, 1) else "0/1"
+                f.write(f"chr1\t{v.pos + 1}\t.\t{v.ref}\t{v.alt}\t60\tPASS"
+                        f"\t.\tGT\t{gt}\n")
+        bins = os.path.join(tdir, "bins")
+        cli_main(["tensor2bin", "--bam_fn", bam_path, "--ref_fn", fasta_path,
+                  "--truth_vcf_fn", truth_path, "--output_dir", bins,
+                  "--phased", "--non_variant_keep_fraction", "1.0"])
+        cli_main(["train", "--bin_dir", bins, "--output_fn", WEIGHTS_PHASED,
+                  "--phased", "--max_epochs", "30", "--batch_size", "256",
+                  "--no_indel_length"])
+    return load_params(WEIGHTS_PHASED)
 
 
 def bench_ours(fasta_path, bam_path):
@@ -217,11 +268,114 @@ def bench_ours(fasta_path, bam_path):
             raise RuntimeError(
                 "fused_high_depth fell back to the host path: "
                 f"{hd_counters}")
+        if hd_counters.get("renorm_window_fetches"):
+            raise RuntimeError(
+                "fused_high_depth paid a second windows-fetch round trip "
+                "(the renorm fold must keep deep chunks at ONE fetch): "
+                f"{hd_counters}")
     finally:
         os.environ.pop("CLAIR3_RNA_TPU_PILEUP_BACKEND", None)
+
+    # hybrid routing on a MIXED-depth genome: three 60 kb deep-transcript
+    # islands (+246x) on a 14x background -- the shape real lrRNA coverage
+    # always has (the reference's renormalization exists because of it,
+    # clair3_rna/utils.py:88-92). Hybrid must match or beat BOTH pure
+    # policies (the per-chunk router picks each chunk's measured-winning
+    # formulation) and be row-identical to them.
+    mx_fasta, mx_bam = _dataset(
+        "mixed_depth", 1_200_000, 14, 6600,
+        extra_regions={"chr1": [(200_000, 260_000, 246),
+                                (600_000, 660_000, 246),
+                                (900_000, 960_000, 246)]})
+    mixed = {}
+    try:
+        for be_name in ("host", "fused", "hybrid"):
+            os.environ["CLAIR3_RNA_TPU_PILEUP_BACKEND"] = be_name
+            n_runs = 2 if be_name != "host" else 1  # first warms new graphs
+            mixed[be_name] = _timed_runs(mx_bam, mx_fasta, cfg, call_cfg,
+                                         params, forward, n_runs=n_runs)
+            mixed[be_name]["vcf_rows"] = len(_vcf_body(
+                mx_bam + ".bench_out.vcf"))
+            if be_name == "host":
+                mx_host_vcf = _vcf_body(mx_bam + ".bench_out.vcf")
+            else:
+                if _vcf_body(mx_bam + ".bench_out.vcf") != mx_host_vcf:
+                    raise RuntimeError(
+                        f"mixed_depth {be_name} VCF differs from host")
+                mixed[be_name]["vcf_identical"] = True
+    finally:
+        os.environ.pop("CLAIR3_RNA_TPU_PILEUP_BACKEND", None)
+    routing = mixed["hybrid"].get("routing", {})
+    if not (routing.get("fused_chunks") and routing.get("host_chunks")):
+        # on a chip-local link every chunk may legitimately route fused;
+        # record rather than fail, but flag it
+        mixed["hybrid"]["routing_mixed"] = False
+    else:
+        mixed["hybrid"]["routing_mixed"] = True
+    best_pure = max(mixed["host"]["sites_per_s"],
+                    mixed["fused"]["sites_per_s"])
+    mixed["hybrid"]["vs_best_pure"] = round(
+        mixed["hybrid"]["sites_per_s"] / best_pure, 3)
+    if mixed["hybrid"]["sites_per_s"] < 0.8 * best_pure:
+        raise RuntimeError(
+            f"hybrid lost to the best pure policy beyond noise: "
+            f"{mixed['hybrid']['sites_per_s']:.0f} vs {best_pure:.0f}")
+    result["mixed_depth"] = mixed
+
+    # phased second pass ON HARDWARE (the reference's headline accuracy
+    # feature, --enable_phasing_model, +2% SNP/+6% indel,
+    # /root/reference/README.md:50): phase+haplotag the main dataset from
+    # its own calls, then the 30-channel re-call with host AND fused
+    # backends -- fused must be VCF-identical and genuinely fused.
+    result["phased_e2e"] = _bench_phased(fasta_path, bam_path, cfg, call_cfg)
+
     result["fused_device_only"] = _bench_fused_device(bam_path, fasta_path,
                                                       params, cfg)
     return result
+
+
+def _bench_phased(fasta_path, bam_path, cfg, call_cfg):
+    import numpy as np
+    from clair3_rna_tpu.models.network import make_wire_forward_fn
+    from clair3_rna_tpu.phasing.pipeline import phase_and_haplotag
+
+    ph_params = get_trained_phased_params()
+    phased_cfg = cfg.with_(phased=True)
+    _, ph_forward = make_wire_forward_fn()
+    # warm the 30-channel batch buckets (full batch + flush buckets)
+    b = phased_cfg.batch_size
+    while b >= 64:
+        np.asarray(ph_forward(ph_params, np.zeros((b, 33, 30), np.uint8),
+                              np.zeros((b, 33), np.int8)))
+        b //= 2
+
+    tagged = bam_path + ".bench_tagged.bam"
+    t0 = time.time()
+    phase_and_haplotag(bam_path, fasta_path, bam_path + ".bench_out.vcf",
+                       tagged, phaser="builtin")
+    phase_s = time.time() - t0
+
+    out = {"phase_haplotag_s": round(phase_s, 2)}
+    out["host"] = _timed_runs(tagged, fasta_path, phased_cfg, call_cfg,
+                              ph_params, ph_forward, n_runs=2)
+    host_vcf = _vcf_body(tagged + ".bench_out.vcf")
+    try:
+        os.environ["CLAIR3_RNA_TPU_PILEUP_BACKEND"] = "fused"
+        out["fused"] = _timed_runs(tagged, fasta_path, phased_cfg, call_cfg,
+                                   ph_params, ph_forward, n_runs=2)
+    finally:
+        os.environ.pop("CLAIR3_RNA_TPU_PILEUP_BACKEND", None)
+    fused_vcf = _vcf_body(tagged + ".bench_out.vcf")
+    out["fused"]["fused_vcf_identical"] = fused_vcf == host_vcf
+    if fused_vcf != host_vcf:
+        raise RuntimeError(
+            f"phased fused VCF differs from phased host VCF: "
+            f"{len(fused_vcf)} vs {len(host_vcf)} rows")
+    fc = out["fused"].get("fused_counters", {})
+    if fc.get("fallback_chunks"):
+        raise RuntimeError(f"phased fused run fell back to host: {fc}")
+    out["n_rows"] = len(host_vcf)
+    return out
 
 
 def _vcf_body(path):
@@ -399,6 +553,8 @@ def _timed_runs(bam_path, fasta_path, cfg, call_cfg, params, forward, *,
         }
         if stats.fused is not None:
             run["fused_counters"] = stats.fused
+        if stats.routing is not None:
+            run["routing"] = stats.routing
         runs.append(run)
     runs.sort(key=lambda r: r["sites_per_s"])
     best = dict(runs[-1])
@@ -482,6 +638,20 @@ def _compact_summary(ours, baseline, vs):
             fc = d["fused_counters"]
             out["renorm_candidates"] = fc.get("renorm_candidates")
             out["fallback_chunks"] = fc.get("fallback_chunks")
+            out["renorm_window_fetches"] = fc.get("renorm_window_fetches")
+        return out
+
+    mixed = ours.get("mixed_depth") or {}
+    phased = ours.get("phased_e2e") or {}
+
+    def sub(d, cfg, *keys):
+        e = d.get(cfg) or {}
+        out = {k: e[k] for k in keys if k in e}
+        if "fused_counters" in e:
+            out["fallback_chunks"] = e["fused_counters"].get(
+                "fallback_chunks")
+        if "routing" in e:
+            out["routing"] = e["routing"]
         return out
 
     return {
@@ -499,6 +669,20 @@ def _compact_summary(ours, baseline, vs):
                               "median_sites_per_s", "fused_vcf_identical"),
             "fused_high_depth": pick("fused_high_depth", "sites_per_s",
                                      "fused_vcf_identical"),
+            "mixed_depth": {
+                "host": sub(mixed, "host", "sites_per_s"),
+                "fused": sub(mixed, "fused", "sites_per_s",
+                             "vcf_identical"),
+                "hybrid": sub(mixed, "hybrid", "sites_per_s",
+                              "vcf_identical", "vs_best_pure",
+                              "routing_mixed"),
+            },
+            "phased_e2e": {
+                "phase_haplotag_s": phased.get("phase_haplotag_s"),
+                "host": sub(phased, "host", "sites_per_s"),
+                "fused": sub(phased, "fused", "sites_per_s",
+                             "fused_vcf_identical"),
+            },
             "fused_device_only": pick(
                 "fused_device_only", "device_s", "events_per_s",
                 "device_stream_s", "stream_events_per_s",

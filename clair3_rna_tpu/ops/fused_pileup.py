@@ -435,7 +435,8 @@ def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
 
 def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                   add_indel_length=False, scatter="xla", mode="events",
-                  known_only=False, with_masks=False):
+                  known_only=False, with_masks=False,
+                  with_renorm_windows=False):
     """Build the single-jit fused function over staged device arrays.
 
     Returns fused(*staged_args) -> one packed f32 array
@@ -470,6 +471,13 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
     - cfg.enable_head_tail: run-tail candidates kept and window slots
       outside the candidate's covered run zeroed
       (src/create_tensor_pileup.py:614-637).
+    - with_renorm_windows: the raw (pre-network) candidate windows ride the
+      SAME packed output as extra rows, so renorm-flagged candidates need
+      no second windows-fetch round trip -- deep chunks keep the one-fetch-
+      per-chunk invariant (selected per chunk by FusedChunkCaller when the
+      chunk's max coverage can flag candidates; the extra rows cost
+      ~bytes-equal to the separate fetch they replace, so shallow chunks
+      keep the slim output).
     """
     import jax
     import jax.numpy as jnp
@@ -689,6 +697,18 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
         ], axis=-1)
         header = jnp.zeros((1, body.shape[1]), jnp.float32) \
             .at[0, 0].set(n_cand.astype(jnp.float32))
+        if with_renorm_windows:
+            # fold the raw (pre-network, integer-exact-in-f32) windows into
+            # the same output array, reflowed to the body's column width:
+            # the host slices them back by static shape, so deep chunks'
+            # renorm candidates cost no second fetch round trip
+            cols = body.shape[1]
+            flat = windows.astype(jnp.float32).reshape(-1)
+            k = -(-flat.shape[0] // cols)
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(k * cols - flat.shape[0], jnp.float32)])
+            return jnp.concatenate([header, body, flat.reshape(k, cols)],
+                                   axis=0)
         return jnp.concatenate([header, body], axis=0)
 
     if mode == "events":
@@ -905,6 +925,8 @@ class FusedChunkCaller:
         self.hatch_candidates = 0  # candidates rebuilt host-side via hatch
         self.renorm_chunks = 0     # chunks with device-window renorm cands
         self.renorm_candidates = 0  # candidates renormalized via the fetch
+        self.renorm_fold_chunks = 0    # renorm windows rode the main output
+        self.renorm_window_fetches = 0  # separate windows-fetch round trips
         self.fallback_chunks = 0   # whole-chunk host fallbacks
         self.max_budget = int(os.environ.get(
             "CLAIR3_RNA_TPU_FUSED_MAX_BUDGET", "4096"))
@@ -930,7 +952,8 @@ class FusedChunkCaller:
         graphs warm)."""
         with self._lock:
             return {k: getattr(self, k) for k in (
-                "renorm_candidates", "renorm_chunks", "hatch_candidates",
+                "renorm_candidates", "renorm_chunks", "renorm_fold_chunks",
+                "renorm_window_fetches", "hatch_candidates",
                 "hatch_chunks", "overflow_retries", "fallback_chunks")}
 
     def _fallback(self):
@@ -938,26 +961,27 @@ class FusedChunkCaller:
         self._count("fallback_chunks")
         return None
 
-    def _get_fused(self, budget):
+    def _get_fused(self, budget, fold=False):
         with self._lock:
-            fn = self._fused_by_budget.get(budget)
+            fn = self._fused_by_budget.get((budget, fold))
             if fn is None:
                 fn = make_fused_fn(
                     self.params, self.cfg, max_candidates=budget,
                     add_indel_length=self.call_cfg.add_indel_length,
                     scatter=self.scatter, mode=self.mode,
-                    known_only=self.known_only, with_masks=self.with_masks)
-                self._fused_by_budget[budget] = fn
+                    known_only=self.known_only, with_masks=self.with_masks,
+                    with_renorm_windows=fold)
+                self._fused_by_budget[(budget, fold)] = fn
         return fn
 
-    def _blob_fn(self, layout, budget=None):
+    def _blob_fn(self, layout, budget=None, fold=False):
         budget = self.max_candidates if budget is None else budget
-        key = (layout, budget)
+        key = (layout, budget, fold)
         with self._lock:
             fn = self._blob_fns.get(key)
         if fn is None:
             import jax
-            fused = self._get_fused(budget)
+            fused = self._get_fused(budget, fold)
             fn = jax.jit(lambda blob, _l=layout: fused(*unpack_wire(blob, _l)))
             with self._lock:
                 self._blob_fns[key] = fn
@@ -1024,10 +1048,19 @@ class FusedChunkCaller:
             args = staged_args(staged)
             indels = SparseIndels.from_events(events)
         blob, layout = pack_wire(args)
+        # deep chunks select the renorm-window-fold graph BEFORE dispatch
+        # (max coverage bounds candidate depth, so any chunk that can flag
+        # renorm candidates folds their raw windows into the one output --
+        # the one-fetch-per-chunk invariant holds in the deep regime too)
+        max_depth = config.MAX_DEPTH_BY_PLATFORM.get(self.cfg.platform,
+                                                     config.MAX_DEPTH)
+        fold = bool(len(data.cover_count)
+                    and int(data.cover_count.max()) > max_depth * 1.5)
         # ONE device transfer (blob) and ONE device fetch (packed output)
         import jax
         blob_dev = jax.device_put(blob)  # reused by retries + window fetch
-        packed_out = np.asarray(self._blob_fn(layout)(blob_dev))
+        budget = self.max_candidates
+        packed_out = np.asarray(self._blob_fn(layout, fold=fold)(blob_dev))
         n = int(packed_out[0, 0])
         if n > self.max_candidates:
             # dense-candidate chunk: n is known from the header, so retry
@@ -1037,12 +1070,13 @@ class FusedChunkCaller:
             # cheaper than the widened network pass
             if n > self.max_budget:
                 return self._fallback()
-            budget = self.max_candidates
             while budget < n:
                 budget *= 2
             self._count("overflow_retries")
-            packed_out = np.asarray(self._blob_fn(layout, budget)(blob_dev))
-        body = packed_out[1:]
+            packed_out = np.asarray(
+                self._blob_fn(layout, budget, fold=fold)(blob_dev))
+        win_rows = packed_out[1 + budget:]
+        body = packed_out[1:1 + budget]
         P = body.shape[1] - 12
         cand = body[:, 0].astype(np.int64)
         out = body[:, 1:1 + P]
@@ -1105,9 +1139,17 @@ class FusedChunkCaller:
         if len(renorm_idx):
             if host_ctx is None:
                 return self._fallback()
+            wins = None
+            if fold and len(win_rows):
+                n_ch = self.cfg.channel_size
+                w = config.NO_OF_POSITIONS
+                wins_all = win_rows.reshape(-1)[:budget * w * n_ch] \
+                    .reshape(budget, w, n_ch)
+                wins = wins_all[renorm_idx].astype(np.int32)
+                self._count("renorm_fold_chunks")
             recs = self._renorm_records(blob_dev, layout, ctg_name, staged,
                                         cand, renorm_idx, depth_c, ref_seq,
-                                        ref_lo, _alt)
+                                        ref_lo, _alt, wins=wins)
             from clair3_rna_tpu.caller.pipeline import call_tensor_records
             host_rows += call_tensor_records(recs, host_ctx["forward"],
                                              self.params, self.cfg,
@@ -1161,14 +1203,19 @@ class FusedChunkCaller:
         return recs
 
     def _renorm_records(self, blob_dev, layout, ctg_name, staged, cand,
-                        renorm_idx, depth_c, ref_seq, ref_lo, alt_fn):
+                        renorm_idx, depth_c, ref_seq, ref_lo, alt_fn,
+                        wins=None):
         """Renorm-flagged candidates as TensorRecords from the DEVICE image.
 
-        The staged blob is re-read by the windows-fetch jit at the flagged
+        `wins` normally arrives pre-sliced from the fold rows of the main
+        packed output (with_renorm_windows: deep chunks pay ONE fetch).
+        Without it -- a renorm flag on a chunk whose max coverage did not
+        predict one, which the depth <= cover invariant should preclude --
+        the staged blob is re-read by the windows-fetch jit at the flagged
         centers, returning the same raw negated count windows the fused
         pass gathered (the device image is byte-identical to the host
-        builder's, proven by the fused VCF-identity tests) -- no BAM
-        rebuild. The reference's float64 scale-then-truncate
+        builder's, proven by the fused VCF-identity tests); no BAM rebuild
+        either way. The reference's float64 scale-then-truncate
         (clair3_rna/utils.py:88-92) is then applied downstream by
         batch_wire/_stack_renormed exactly as on the host path, and the
         records ride the host wire-forward jit, so probabilities are
@@ -1178,19 +1225,21 @@ class FusedChunkCaller:
 
         from clair3_rna_tpu.pileup.builder import TensorRecord, _flanked_ref
 
-        sel = cand[renorm_idx].astype(np.int32)
-        # ONE sel bucket (the candidate budget): each distinct sel shape
-        # compiles its own windows graph -- minutes over a tunnel, tens of
-        # seconds anywhere -- while the over-fetch it avoids costs ~0.1 s
-        # ([1024, 33, 18] f32 on a 19 MB/s downlink). Overflow chunks
-        # (budget > max_candidates) are the only second shape.
-        bucket = self.max_candidates
-        while bucket < len(sel):
-            bucket *= 2
-        sel_pad = np.full(bucket, staged.width, np.int32)
-        sel_pad[:len(sel)] = sel
-        wins = np.asarray(self._win_fn(layout)(blob_dev, sel_pad))
-        wins = wins[:len(sel)].astype(np.int32)
+        if wins is None:
+            self._count("renorm_window_fetches")
+            sel = cand[renorm_idx].astype(np.int32)
+            # ONE sel bucket (the candidate budget): each distinct sel shape
+            # compiles its own windows graph -- minutes over a tunnel, tens
+            # of seconds anywhere -- while the over-fetch it avoids costs
+            # ~0.1 s ([1024, 33, 18] f32 on a 19 MB/s downlink). Overflow
+            # chunks (budget > max_candidates) are the only second shape.
+            bucket = self.max_candidates
+            while bucket < len(sel):
+                bucket *= 2
+            sel_pad = np.full(bucket, staged.width, np.int32)
+            sel_pad[:len(sel)] = sel
+            wins = np.asarray(self._win_fn(layout)(blob_dev, sel_pad))
+            wins = wins[:len(sel)].astype(np.int32)
         recs = []
         for j, i in enumerate(renorm_idx):
             p = int(cand[i]) + staged.start

@@ -105,6 +105,10 @@ def test_fused_high_depth_renorm_identical(tmp_path, monkeypatch, case):
     assert sum(c.renorm_candidates for c in created) > 0
     assert sum(c.fallback_chunks for c in created) == 0
     assert sum(c.hatch_candidates for c in created) == 0  # splice-only now
+    # one-fetch-per-chunk invariant: the renorm windows rode the fold rows
+    # of the main packed output, never a second windows-fetch round trip
+    assert sum(c.renorm_fold_chunks for c in created) > 0
+    assert sum(c.renorm_window_fetches for c in created) == 0
 
 
 @pytest.mark.parametrize("depth", [220, 800, 2000])
