@@ -128,11 +128,12 @@ _FUSED_CALLERS_MAX = 4
 def _get_fused_caller(params, cfg, call_cfg, known_only, with_masks):
     from clair3_rna_tpu.ops.fused_pileup import (FusedChunkCaller,
                                                  resolve_mode,
-                                                 resolve_scatter)
+                                                 resolve_scatter,
+                                                 resolve_wire)
     scatter = resolve_scatter()
     mode = resolve_mode()
     key = (id(params), repr(cfg), repr(call_cfg), known_only, with_masks,
-           scatter, mode)
+           scatter, mode, resolve_wire())
     ent = _FUSED_CALLERS.get(key)
     if ent is not None:
         _FUSED_CALLERS.move_to_end(key)

@@ -256,7 +256,10 @@ class StagedPacked:
     core_lo: int
     core_hi: int
     start: int
-    tl_codes: np.ndarray      # [R_pad, POS_TILE/2] uint8
+    tl_codes: np.ndarray      # [R_pad, POS_TILE/2] uint8 nibble arena, or
+    #                           [R_pad, POS_TILE/4] 2-bit crumbs (wire="v2")
+    tl_valid: np.ndarray      # [R_pad, POS_TILE/8] uint8 validity bits
+    #                           (v2 wire; 1-elt placeholder otherwise)
     tl_tile: np.ndarray       # [R_pad] int32
     tl_rank: np.ndarray       # [R_pad] int32
     tl_strand: np.ndarray     # [R_pad] int8
@@ -348,9 +351,14 @@ def _sparse_side(packed, width_pad, phased=False):
 
 def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
                        core_hi, width_pad=None, scatter="xla",
-                       cover_allow=None, cand_allow=None):
+                       cover_allow=None, cand_allow=None, wire=None):
     """PackedReads -> StagedPacked (one cheap host pass: visit bucketing over
-    ~rows, not ~events, plus the sparse side arrays)."""
+    ~rows, not ~events, plus the sparse side arrays).
+
+    wire="v2" repacks the extractor's nibble arenas into the 3-bit/slot
+    wire (2-bit crumbs + validity bitmap, ops/tilelet.nibble_to_v2) --
+    25% fewer tilelet bytes on the link with identical expansion."""
+    wire = resolve_wire() if wire is None else wire
     width = packed.end - packed.start
     if width_pad is None:
         width_pad = 16384
@@ -388,6 +396,10 @@ def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
         b = tlt.bucket_rows(packed.tl_tile, packed.tl_codes, packed.tl_rank,
                             packed.tl_strand, width_pad,
                             tl_hp=packed.tl_hp)
+    if wire == "v2":
+        b["tl_codes"], b["tl_valid"] = tlt.nibble_to_v2(b["tl_codes"])
+    else:
+        b["tl_valid"] = np.zeros(1, np.uint8)
     sp_pos, sp_chan, sp_group, sp_rank, sp_weight = _sparse_side(
         packed, width_pad, phased=cfg.phased)
 
@@ -412,7 +424,8 @@ def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
     return StagedPacked(
         width=width_pad, core_lo=core_lo - packed.start,
         core_hi=core_hi - packed.start, start=packed.start,
-        tl_codes=b["tl_codes"], tl_tile=b["tl_tile"], tl_rank=b["tl_rank"],
+        tl_codes=b["tl_codes"], tl_valid=b["tl_valid"],
+        tl_tile=b["tl_tile"], tl_rank=b["tl_rank"],
         tl_strand=b["tl_strand"], tl_hp=b["tl_hp"],
         visit_tiles=b["visit_tiles"], visit_blocks=b["visit_blocks"],
         visit_firsts=b["visit_firsts"], visit_lasts=b["visit_lasts"],
@@ -436,7 +449,7 @@ def stage_chunk_packed(packed, ref_codes, cfg: PileupConfig, core_lo,
 def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                   add_indel_length=False, scatter="xla", mode="events",
                   known_only=False, with_masks=False,
-                  with_renorm_windows=False):
+                  with_renorm_windows=False, wire="nibble"):
     """Build the single-jit fused function over staged device arrays.
 
     Returns fused(*staged_args) -> one packed f32 array
@@ -745,7 +758,8 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
                          cand_allow, max_skip, core, sel=sel)
     else:
         @jax.jit
-        def fused(tl_codes, tl_tile, tl_rank, tl_strand, tl_hp, visit_tiles,
+        def fused(tl_codes, tl_valid, tl_tile, tl_rank, tl_strand, tl_hp,
+                  visit_tiles,
                   visit_blocks, visit_firsts, visit_lasts, visit_valid,
                   sp_pos, sp_chan, sp_group, sp_rank, sp_weight,
                   cover_pos, cover_delta, i1_pos, i1_vals, ref_code, thr_snp,
@@ -757,6 +771,15 @@ def make_fused_fn(params, cfg: PileupConfig, *, max_candidates=1024,
             if scatter == "xla":
                 counts_f, ranks_f = tlt.tilelet_expand_xla(
                     tl_codes, tl_tile, tl_rank, tl_strand, W,
+                    tl_hp=tl_hp, phased=phased, tl_valid=tl_valid,
+                    wire=wire)
+            elif wire == "v2":
+                counts_f, ranks_f = tlt.tilelet_expand_v2(
+                    tl_codes, tl_valid, tl_tile,
+                    tl_rank.astype(jnp.float32),
+                    tl_strand, visit_tiles, visit_blocks, visit_firsts,
+                    visit_lasts, visit_valid, W,
+                    interpret=(scatter == "pallas_interpret"),
                     tl_hp=tl_hp, phased=phased)
             else:
                 counts_f, ranks_f = tlt.tilelet_expand(
@@ -798,7 +821,8 @@ def staged_args(st: StagedChunk):
 
 def staged_packed_args(st: StagedPacked):
     """Positional argument list for the packed-mode fused fn."""
-    return [st.tl_codes, st.tl_tile, st.tl_rank, st.tl_strand, st.tl_hp,
+    return [st.tl_codes, st.tl_valid, st.tl_tile, st.tl_rank, st.tl_strand,
+            st.tl_hp,
             st.visit_tiles, st.visit_blocks, st.visit_firsts, st.visit_lasts,
             st.visit_valid,
             st.sp_pos, st.sp_chan, st.sp_group, st.sp_rank, st.sp_weight,
@@ -852,6 +876,17 @@ def unpack_wire(blob, layout):
                 seg.reshape(n, dt.itemsize), jdt)
         out.append(arr.reshape(shape))
     return out
+
+
+def resolve_wire():
+    """Tilelet wire layout from CLAIR3_RNA_TPU_TILELET_WIRE:
+    "nibble" (4 bits/slot, the r03-r04 wire, default) or "v2" (2-bit
+    crumbs + validity bitmap, 3 bits/slot -- 25% fewer tilelet bytes,
+    identical expansion; see ops/tilelet.py)."""
+    wire = os.environ.get("CLAIR3_RNA_TPU_TILELET_WIRE", "nibble")
+    if wire not in ("nibble", "v2"):
+        raise ValueError(f"bad CLAIR3_RNA_TPU_TILELET_WIRE: {wire}")
+    return wire
 
 
 def resolve_mode():
@@ -933,6 +968,7 @@ class FusedChunkCaller:
         self.overflow_retries = 0   # chunks rerun with a widened budget
         self.scatter = resolve_scatter() if scatter is None else scatter
         self.mode = resolve_mode() if mode is None else mode
+        self.wire = resolve_wire() if self.mode == "packed" else "nibble"
         self.known_only = known_only
         self.with_masks = with_masks
         self._lock = threading.Lock()
@@ -970,7 +1006,7 @@ class FusedChunkCaller:
                     add_indel_length=self.call_cfg.add_indel_length,
                     scatter=self.scatter, mode=self.mode,
                     known_only=self.known_only, with_masks=self.with_masks,
-                    with_renorm_windows=fold)
+                    with_renorm_windows=fold, wire=self.wire)
                 self._fused_by_budget[(budget, fold)] = fn
         return fn
 
@@ -1030,7 +1066,8 @@ class FusedChunkCaller:
             staged = stage_chunk_packed(data, ref_codes, self.cfg, core_lo,
                                         core_hi, scatter=self.scatter,
                                         cover_allow=cover_allow,
-                                        cand_allow=cand_allow)
+                                        cand_allow=cand_allow,
+                                        wire=self.wire)
             args = staged_packed_args(staged)
             indels = data.sparse_indels()
         else:

@@ -50,6 +50,48 @@ RANK_INF_F = float(2 ** 30)
 MAX_RANK = 2 ** 24
 EMPTY = 15                # nibble value for "no base here"
 
+# --- v2 wire: 2-bit codes + validity bitmap (3 bits/slot) -------------------
+# The nibble wire spends 4 bits/slot; the alphabet is ACGT + "no base here"
+# (deletion holes, splice edges, bq-masked bases), and exact mpileup
+# semantics need the hole distinguished BEFORE the rank-min (a miscoded
+# hole could steal a group's first-occurrence rank), so a fixed-layout
+# wire cannot go below 2 code bits + 1 validity bit per slot. v2 ships
+# exactly that: [R, POS_TILE/4] 2-bit code bytes (little-endian crumbs)
+# plus [R, POS_TILE/8] validity bytes (little-endian bits) = 96 B/row vs
+# the nibble wire's 128. Selected by CLAIR3_RNA_TPU_TILELET_WIRE=v2;
+# produced from the extractor's nibble arenas at staging time
+# (nibble_to_v2 -- a few vectorized byte ops, so the C++ extractor is
+# unchanged).
+V2_HALF = POS_TILE // 4   # code bytes per row (4 crumbs each)
+V2_VBYTES = POS_TILE // 8  # validity bytes per row
+
+
+def nibble_to_v2(tl_codes):
+    """[R, POS_TILE/2] nibble arena -> (codes2 [R, POS_TILE/4] uint8,
+    valid [R, POS_TILE/8] uint8). Hole slots carry crumb 0, masked by the
+    validity bit; round-trips exactly via unpack_v2."""
+    r = tl_codes.shape[0]
+    codes = np.empty((r, POS_TILE), np.uint8)
+    codes[:, 0::2] = tl_codes >> 4
+    codes[:, 1::2] = tl_codes & 15
+    valid = codes != EMPTY
+    c2 = np.where(valid, codes & 3, 0).astype(np.uint8)
+    codes2 = (c2[:, 0::4] | (c2[:, 1::4] << 2) | (c2[:, 2::4] << 4)
+              | (c2[:, 3::4] << 6)).astype(np.uint8)
+    vbits = np.packbits(valid, axis=1, bitorder="little")
+    return codes2, vbits
+
+
+def unpack_v2(codes2, valid):
+    """(codes2, valid) -> [R, POS_TILE] codes with EMPTY holes (tests)."""
+    r = codes2.shape[0]
+    out = np.empty((r, POS_TILE), np.uint8)
+    for c in range(4):
+        out[:, c::4] = (codes2 >> (2 * c)) & 3
+    vb = np.unpackbits(valid, axis=1, bitorder="little")[:, :POS_TILE]
+    out[vb == 0] = EMPTY
+    return out
+
 
 def quantize_rows(n):
     """Row-count padding bucket: whole ROW_BLOCKs, quantized to 1/8 octave
@@ -227,6 +269,168 @@ def _make_kernel(phased):
     return _kernel
 
 
+def _make_kernel_v2(phased):
+    """v2-wire kernel: 2-bit code crumbs + validity bitmap. Four position
+    planes (slot = 4*byte + crumb) accumulate separately and interleave
+    after the kernel, exactly like the nibble kernel's even/odd pair."""
+
+    def _kernel(tiles_ref, blocks_ref, firsts_ref, lasts_ref, valid_ref,
+                codes_ref, vcodes_ref, rtile_ref, rrank_ref, rstrand_ref,
+                rhp_ref, *out_and_scratch):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        c_hbm = out_and_scratch[0:4]
+        r_hbm = out_and_scratch[4:8]
+        c_acc = out_and_scratch[8:12]
+        r_acc = out_and_scratch[12:16]
+        sems = out_and_scratch[16]
+
+        v = pl.program_id(0)
+
+        @pl.when(firsts_ref[v] == 1)
+        def _():
+            for acc in c_acc:
+                acc[:, :] = jnp.zeros_like(acc)
+            for acc in r_acc:
+                acc[:, :] = jnp.full_like(acc, RANK_INF_F)
+
+        @pl.when(valid_ref[v] == 1)
+        def _():
+            tile = tiles_ref[v]
+            packed = codes_ref[0]                            # [K, 64]
+            vbytes = vcodes_ref[0]                           # [K, 32]
+            rmask = rtile_ref[0, 0, :].reshape(ROW_BLOCK, 1) == tile
+            strand = rstrand_ref[0, 0, :].reshape(ROW_BLOCK, 1)
+            rank = rrank_ref[0, 0, :].reshape(ROW_BLOCK, 1)
+            hp = rhp_ref[0, 0, :].reshape(ROW_BLOCK, 1)
+            # validity byte of slot 4j+c is j>>1; its bit is 4*(j&1)+c
+            vb2 = jnp.stack([vbytes, vbytes], axis=-1) \
+                .reshape(ROW_BLOCK, V2_HALF)
+            parity = jax.lax.broadcasted_iota(
+                jnp.int32, (1, V2_HALF), 1) & 1
+            zero_row = jnp.zeros((1, V2_HALF), jnp.float32)
+            inf_row = jnp.full((1, V2_HALF), RANK_INF_F, jnp.float32)
+            for c in range(4):
+                nib = (packed >> (2 * c)) & 3
+                bit = (vb2 >> (4 * parity + c)) & 1
+                base = jnp.where((bit != 0) & rmask, nib, EMPTY)
+                fwd_rows, rev_rows, min_rows = [], [], []
+                hp1_rows, hp2_rows = [], []
+                for code in range(4):
+                    m = base == code
+                    fwd_rows.append(jnp.sum(
+                        (m & (strand == 0)).astype(jnp.float32), axis=0,
+                        keepdims=True))
+                    rev_rows.append(jnp.sum(
+                        (m & (strand == 1)).astype(jnp.float32), axis=0,
+                        keepdims=True))
+                    min_rows.append(jnp.min(
+                        jnp.where(m, rank, RANK_INF_F), axis=0,
+                        keepdims=True))
+                    if phased:
+                        hp1_rows.append(jnp.sum(
+                            (m & (hp == 1)).astype(jnp.float32), axis=0,
+                            keepdims=True))
+                        hp2_rows.append(jnp.sum(
+                            (m & (hp == 2)).astype(jnp.float32), axis=0,
+                            keepdims=True))
+                if phased:
+                    tail = (hp1_rows + [zero_row] * 2 + hp2_rows
+                            + [zero_row] * (C_PAD - 28))
+                else:
+                    tail = [zero_row] * (C_PAD - 18)
+                c_acc[c][:, :] += jnp.concatenate(
+                    fwd_rows + [zero_row] * 5 + rev_rows + [zero_row] * 5
+                    + tail, axis=0)
+                r_acc[c][:, :] = jnp.minimum(
+                    r_acc[c][:, :],
+                    jnp.concatenate(min_rows + [inf_row] * (G_PAD - 4),
+                                    axis=0))
+
+        @pl.when(lasts_ref[v] == 1)
+        def _():
+            base = tiles_ref[v] * V2_HALF
+            dmas = [pltpu.make_async_copy(
+                        acc, hbm.at[:, pl.ds(base, V2_HALF)], sems.at[i])
+                    for i, (acc, hbm) in enumerate(
+                        list(zip(c_acc, c_hbm)) + list(zip(r_acc, r_hbm)))]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+    return _kernel
+
+
+def tilelet_expand_v2(tl_codes2, tl_valid, tl_tile, tl_rank_f32, tl_strand,
+                      visit_tiles, visit_blocks, visit_firsts, visit_lasts,
+                      visit_valid, width_pad, interpret=False, tl_hp=None,
+                      phased=False):
+    """v2-wire Pallas expansion: identical outputs to tilelet_expand from
+    the 3-bit/slot wire (2-bit crumbs [r_pad, POS_TILE/4] + validity bits
+    [r_pad, POS_TILE/8])."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r_pad = tl_codes2.shape[0]
+    nb = r_pad // ROW_BLOCK
+    n_visits = visit_tiles.shape[0]
+    n_tiles = width_pad // POS_TILE
+    w_q = n_tiles * V2_HALF
+
+    def _spec(shape):
+        return pl.BlockSpec(
+            shape, lambda v, t, b, f, l, vv: (b[v], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_visits,),
+        in_specs=[_spec((1, ROW_BLOCK, V2_HALF)),
+                  _spec((1, ROW_BLOCK, V2_VBYTES)),
+                  _spec((1, 1, ROW_BLOCK)), _spec((1, 1, ROW_BLOCK)),
+                  _spec((1, 1, ROW_BLOCK)), _spec((1, 1, ROW_BLOCK))],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+                        for _ in range(8)),
+        scratch_shapes=(
+            [pltpu.VMEM((C_PAD, V2_HALF), jnp.float32) for _ in range(4)]
+            + [pltpu.VMEM((G_PAD, V2_HALF), jnp.float32) for _ in range(4)]
+            + [pltpu.SemaphoreType.DMA((8,))]),
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))
+    if tl_hp is None:
+        tl_hp = jnp.zeros(r_pad, jnp.int8)
+    outs = pl.pallas_call(
+        _make_kernel_v2(phased),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((cp, w_q), jnp.float32)
+            for cp in (C_PAD, C_PAD, C_PAD, C_PAD,
+                       G_PAD, G_PAD, G_PAD, G_PAD)),
+        interpret=interpret,
+        **kwargs,
+    )(visit_tiles, visit_blocks, visit_firsts, visit_lasts, visit_valid,
+      tl_codes2.astype(jnp.int32).reshape(nb, ROW_BLOCK, V2_HALF),
+      tl_valid.astype(jnp.int32).reshape(nb, ROW_BLOCK, V2_VBYTES),
+      tl_tile.reshape(nb, 1, ROW_BLOCK),
+      tl_rank_f32.reshape(nb, 1, ROW_BLOCK),
+      tl_strand.astype(jnp.int32).reshape(nb, 1, ROW_BLOCK),
+      tl_hp.astype(jnp.int32).reshape(nb, 1, ROW_BLOCK))
+    # interleave the four crumb planes back into genome order:
+    # plane c, column t*V2_HALF+j  ->  position t*POS_TILE + 4j + c
+    counts = jnp.stack(outs[0:4], axis=-1).reshape(C_PAD, width_pad)
+    granks = jnp.stack(outs[4:8], axis=-1).reshape(G_PAD, width_pad)
+    return counts, granks
+
+
 def tilelet_expand(tl_codes, tl_tile, tl_rank_f32, tl_strand,
                    visit_tiles, visit_blocks, visit_firsts, visit_lasts,
                    visit_valid, width_pad, interpret=False, tl_hp=None,
@@ -300,16 +504,26 @@ def tilelet_expand(tl_codes, tl_tile, tl_rank_f32, tl_strand,
 
 
 def tilelet_expand_xla(tl_codes, tl_tile, tl_rank, tl_strand, width_pad,
-                       tl_hp=None, phased=False):
+                       tl_hp=None, phased=False, tl_valid=None,
+                       wire="nibble"):
     """XLA fallback (scatter-based) with identical outputs; used on CPU and
-    for differential testing. Takes the same nibble-packed wire."""
+    for differential testing. Takes the nibble wire, or the v2 2-bit +
+    validity wire when wire="v2" (tl_valid required then)."""
     import jax
     import jax.numpy as jnp
 
     r = tl_codes.shape[0]
     packed = tl_codes.astype(jnp.int32)
-    codes = jnp.stack([(packed >> 4) & 15, packed & 15], axis=-1) \
-        .reshape(r, POS_TILE)
+    if wire == "v2":
+        crumbs = jnp.stack([(packed >> (2 * c)) & 3 for c in range(4)],
+                           axis=-1).reshape(r, POS_TILE)
+        vb = tl_valid.astype(jnp.int32)
+        bits = jnp.stack([(vb >> b) & 1 for b in range(8)],
+                         axis=-1).reshape(r, POS_TILE)
+        codes = jnp.where(bits != 0, crumbs, EMPTY)
+    else:
+        codes = jnp.stack([(packed >> 4) & 15, packed & 15], axis=-1) \
+            .reshape(r, POS_TILE)
     pos = (tl_tile.astype(jnp.int32)[:, None] * POS_TILE
            + jnp.arange(POS_TILE, dtype=jnp.int32)[None, :])
     valid = (codes < 4) & (pos < width_pad)

@@ -243,3 +243,104 @@ def test_native_packed_thread_invariance(tmp_path, monkeypatch):
                   "skip_rev_count", "cover_count"):
             assert np.array_equal(getattr(base, f), getattr(multi, f)), (f, n)
         assert base.ins_seqs == multi.ins_seqs, n
+
+
+# --- v2 wire (2-bit crumbs + validity bitmap) --------------------------------
+
+def test_v2_pack_roundtrip():
+    rng = np.random.default_rng(7)
+    packed, tile, rank, strand = _random_rows(rng, 200, 8, fill=0.6)
+    codes2, valid = tlt.nibble_to_v2(packed)
+    assert codes2.shape == (200, tlt.V2_HALF)
+    assert valid.shape == (200, tlt.V2_VBYTES)
+    # 25% fewer tilelet bytes than the nibble arena
+    assert codes2.nbytes + valid.nbytes == packed.nbytes * 3 // 4
+    assert np.array_equal(tlt.unpack_v2(codes2, valid),
+                          unpack_codes(packed))
+
+
+@pytest.mark.parametrize("fill", [0.15, 0.6, 0.97])
+def test_v2_expansion_differential(fill):
+    """v2 XLA expansion and v2 Pallas kernel (interpret) both equal the
+    nibble oracle on random arenas with holes at every density (holes model
+    deletion errors / bq-masked bases -- the reason a fixed-layout wire
+    needs the validity bit)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n_tiles = 6
+    width_pad = n_tiles * tlt.POS_TILE
+    packed, tile, rank, strand = _random_rows(rng, 300, n_tiles, fill=fill)
+    oc, orank = tlt.tilelet_oracle(packed, tile, rank, strand, width_pad)
+
+    codes2, valid = tlt.nibble_to_v2(packed)
+    xc, xr = tlt.tilelet_expand_xla(
+        jnp.asarray(codes2), jnp.asarray(tile), jnp.asarray(rank),
+        jnp.asarray(strand), width_pad, tl_valid=jnp.asarray(valid),
+        wire="v2")
+    _assert_same("v2 xla", (oc, orank), (np.asarray(xc), np.asarray(xr)))
+
+    b = tlt.bucket_rows(tile, packed, rank, strand, width_pad)
+    c2p, vp = tlt.nibble_to_v2(b["tl_codes"])
+    pc, pr = tlt.tilelet_expand_v2(
+        jnp.asarray(c2p), jnp.asarray(vp), jnp.asarray(b["tl_tile"]),
+        jnp.asarray(b["tl_rank"], jnp.float32),
+        jnp.asarray(b["tl_strand"]),
+        jnp.asarray(b["visit_tiles"]), jnp.asarray(b["visit_blocks"]),
+        jnp.asarray(b["visit_firsts"]), jnp.asarray(b["visit_lasts"]),
+        jnp.asarray(b["visit_valid"]), width_pad, interpret=True)
+    _assert_same("v2 pallas", (oc, orank), (np.asarray(pc), np.asarray(pr)))
+
+
+def test_v2_phased_expansion_differential():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    n_tiles = 4
+    width_pad = n_tiles * tlt.POS_TILE
+    packed, tile, rank, strand = _random_rows(rng, 160, n_tiles, fill=0.5)
+    hp = rng.integers(0, 3, 160).astype(np.int8)
+    oc, orank = tlt.tilelet_oracle(packed, tile, rank, strand, width_pad,
+                                   tl_hp=hp, phased=True)
+    codes2, valid = tlt.nibble_to_v2(packed)
+    xc, xr = tlt.tilelet_expand_xla(
+        jnp.asarray(codes2), jnp.asarray(tile), jnp.asarray(rank),
+        jnp.asarray(strand), width_pad, tl_hp=jnp.asarray(hp), phased=True,
+        tl_valid=jnp.asarray(valid), wire="v2")
+    assert np.array_equal(oc.astype(np.float64),
+                          np.asarray(xc).astype(np.float64))
+
+    b = tlt.bucket_rows(tile, packed, rank, strand, width_pad, tl_hp=hp)
+    c2p, vp = tlt.nibble_to_v2(b["tl_codes"])
+    pc, pr = tlt.tilelet_expand_v2(
+        jnp.asarray(c2p), jnp.asarray(vp), jnp.asarray(b["tl_tile"]),
+        jnp.asarray(b["tl_rank"], jnp.float32),
+        jnp.asarray(b["tl_strand"]),
+        jnp.asarray(b["visit_tiles"]), jnp.asarray(b["visit_blocks"]),
+        jnp.asarray(b["visit_firsts"]), jnp.asarray(b["visit_lasts"]),
+        jnp.asarray(b["visit_valid"]), width_pad, interpret=True,
+        tl_hp=jnp.asarray(b["tl_hp"]), phased=True)
+    assert np.array_equal(oc.astype(np.float64),
+                          np.asarray(pc).astype(np.float64))
+    assert np.array_equal(orank[:4].astype(np.float64),
+                          np.asarray(pr)[:4].astype(np.float64))
+
+
+@pytest.mark.parametrize("scatter", ["xla", "pallas_interpret"])
+def test_fused_v2_wire_vcf_identical(tmp_path, monkeypatch, scatter):
+    """End-to-end fused calling over the v2 wire: VCF-identical to the
+    host tile-builder path (same contract as the nibble wire)."""
+    from tests.test_fused_pileup import _call, _dataset
+    from clair3_rna_tpu.models.network import init_params
+
+    fasta, bam = _dataset(tmp_path, seed=47, contig_len=30_000,
+                          n_variants=100, depth=30)
+    params = init_params(0)
+    monkeypatch.setenv("CLAIR3_RNA_TPU_FUSED_SCATTER", scatter)
+    host = _call(bam, fasta, str(tmp_path / "host.vcf"), params, False,
+                 monkeypatch, fused=False)
+    monkeypatch.setenv("CLAIR3_RNA_TPU_TILELET_WIRE", "v2")
+    fused = _call(bam, fasta, str(tmp_path / "fused.vcf"), params, False,
+                  monkeypatch, fused=True)
+    assert len(host) > 30
+    assert fused == host
