@@ -963,8 +963,19 @@ class FusedChunkCaller:
         self.renorm_fold_chunks = 0    # renorm windows rode the main output
         self.renorm_window_fetches = 0  # separate windows-fetch round trips
         self.fallback_chunks = 0   # whole-chunk host fallbacks
+        # dense-candidate ceiling: shallow (10-20x) noisy data passes the
+        # AF test at 2 reads, so real chunks reach 4-6k candidates per
+        # 100 kb (the r05 mixed bench measured 45k over 12 chunks); the
+        # host path runs the network over every candidate anyway, so the
+        # widened fused pass stays cheaper than a whole-chunk double build
+        # well past the old 4096 ceiling
         self.max_budget = int(os.environ.get(
-            "CLAIR3_RNA_TPU_FUSED_MAX_BUDGET", "4096"))
+            "CLAIR3_RNA_TPU_FUSED_MAX_BUDGET", "8192"))
+        # adaptive starting budget: candidate density is locally correlated,
+        # so start each chunk at a power-of-two sized from the previous
+        # chunk's count (+25% headroom) instead of always probing at
+        # max_candidates and paying a retry pass per dense chunk
+        self._next_budget = max_candidates
         self.overflow_retries = 0   # chunks rerun with a widened budget
         self.scatter = resolve_scatter() if scatter is None else scatter
         self.mode = resolve_mode() if mode is None else mode
@@ -1096,10 +1107,12 @@ class FusedChunkCaller:
         # ONE device transfer (blob) and ONE device fetch (packed output)
         import jax
         blob_dev = jax.device_put(blob)  # reused by retries + window fetch
-        budget = self.max_candidates
-        packed_out = np.asarray(self._blob_fn(layout, fold=fold)(blob_dev))
+        with self._lock:
+            budget = self._next_budget
+        packed_out = np.asarray(
+            self._blob_fn(layout, budget, fold=fold)(blob_dev))
         n = int(packed_out[0, 0])
-        if n > self.max_candidates:
+        if n > budget:
             # dense-candidate chunk: n is known from the header, so retry
             # the SAME staged blob ONCE at the smallest power-of-two budget
             # that fits (mask and counts are budget-independent, only the
@@ -1112,6 +1125,11 @@ class FusedChunkCaller:
             self._count("overflow_retries")
             packed_out = np.asarray(
                 self._blob_fn(layout, budget, fold=fold)(blob_dev))
+        want = self.max_candidates
+        while want < min(n + (n >> 2), self.max_budget):
+            want *= 2
+        with self._lock:
+            self._next_budget = want
         win_rows = packed_out[1 + budget:]
         body = packed_out[1:1 + budget]
         P = body.shape[1] - 12

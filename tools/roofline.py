@@ -127,16 +127,19 @@ def main():
             best = dt if best is None or dt < best else best
         return best
 
+    # staged_packed_args order: [tl_codes, tl_valid, tl_tile, tl_rank,
+    # tl_strand, tl_hp, visit_tiles, visit_blocks, visit_firsts,
+    # visit_lasts, visit_valid, ...]
     kern_calls = []
     for args, (n_tiles, _r, _v) in zip(staged_list, n_tiles_rows):
         w = n_tiles * tlt.POS_TILE
         fn = kernel_fn(w)
         if scatter == "xla":
-            kern_calls.append(lambda a=args, f=fn: f(a[0], a[1], a[2],
-                                                     a[3]))
+            kern_calls.append(lambda a=args, f=fn: f(a[0], a[2], a[3],
+                                                     a[4]))
         else:
             kern_calls.append(lambda a=args, f=fn: f(
-                a[0], a[1], a[2], a[3], a[5], a[6], a[7], a[8], a[9]))
+                a[0], a[2], a[3], a[4], a[6], a[7], a[8], a[9], a[10]))
 
     sel = np.arange(caller.max_candidates, dtype=np.int32)
     front_calls = [lambda a=args: caller.fused(*a, sel=sel)
