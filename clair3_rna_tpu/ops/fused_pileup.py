@@ -1107,8 +1107,15 @@ class FusedChunkCaller:
         # ONE device transfer (blob) and ONE device fetch (packed output)
         import jax
         blob_dev = jax.device_put(blob)  # reused by retries + window fetch
-        with self._lock:
-            budget = self._next_budget
+        if fold:
+            # fold output carries a window block sized by the BUDGET, so
+            # deep chunks always probe at the base budget (deep chunks are
+            # candidate-sparse -- high integer AF thresholds -- and an
+            # inherited dense-shallow budget would inflate the one fetch)
+            budget = self.max_candidates
+        else:
+            with self._lock:
+                budget = self._next_budget
         packed_out = np.asarray(
             self._blob_fn(layout, budget, fold=fold)(blob_dev))
         n = int(packed_out[0, 0])
@@ -1125,11 +1132,12 @@ class FusedChunkCaller:
             self._count("overflow_retries")
             packed_out = np.asarray(
                 self._blob_fn(layout, budget, fold=fold)(blob_dev))
-        want = self.max_candidates
-        while want < min(n + (n >> 2), self.max_budget):
-            want *= 2
-        with self._lock:
-            self._next_budget = want
+        if not fold:
+            want = self.max_candidates
+            while want < min(n + (n >> 2), self.max_budget):
+                want *= 2
+            with self._lock:
+                self._next_budget = want
         win_rows = packed_out[1 + budget:]
         body = packed_out[1:1 + budget]
         P = body.shape[1] - 12

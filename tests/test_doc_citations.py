@@ -26,7 +26,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = ["PERF.md", "SCALING.md", "README.md"]
 
-ARTIFACT_RE = re.compile(r"\b(BENCH_r\d+|SCALE_RUN|MULTICHIP_r\d+)\b")
+ARTIFACT_RE = re.compile(
+    r"\b(BENCH_r\d+|SCALE_RUN|MULTICHIP_r\d+|ROOFLINE|WIRE_ABLATION)\b")
 # number + optional suffix; the lookahead excludes unit-bearing tokens
 TOKEN_RE = re.compile(
     r"(?<![\w.\-])(\d{1,3}(?:,\d{3})+|\d+(?:\.\d+)?)"
