@@ -880,10 +880,11 @@ def unpack_wire(blob, layout):
 
 def resolve_wire():
     """Tilelet wire layout from CLAIR3_RNA_TPU_TILELET_WIRE:
-    "nibble" (4 bits/slot, the r03-r04 wire, default) or "v2" (2-bit
-    crumbs + validity bitmap, 3 bits/slot -- 25% fewer tilelet bytes,
-    identical expansion; see ops/tilelet.py)."""
-    wire = os.environ.get("CLAIR3_RNA_TPU_TILELET_WIRE", "nibble")
+    "v2" (2-bit crumbs + validity bitmap, 3 bits/slot -- 25% fewer
+    tilelet bytes, identical expansion, measured >= the nibble wire
+    end-to-end on hardware: WIRE_ABLATION.json; default) or "nibble"
+    (4 bits/slot, the r03-r04 wire, kept as ablation/fallback)."""
+    wire = os.environ.get("CLAIR3_RNA_TPU_TILELET_WIRE", "v2")
     if wire not in ("nibble", "v2"):
         raise ValueError(f"bad CLAIR3_RNA_TPU_TILELET_WIRE: {wire}")
     return wire

@@ -66,19 +66,30 @@ V2_HALF = POS_TILE // 4   # code bytes per row (4 crumbs each)
 V2_VBYTES = POS_TILE // 8  # validity bytes per row
 
 
+# byte LUTs for nibble_to_v2: for a nibble byte x = (hi n0, lo n1),
+# _V2_PAIR[x] = the two crumbs (c0 | c1<<2, holes forced to 0) and
+# _V2_VAL[x] = the two validity bits (v0 | v1<<1)
+_x = np.arange(256, dtype=np.uint16)
+_n0, _n1 = (_x >> 4) & 15, _x & 15
+_v0, _v1 = (_n0 != EMPTY), (_n1 != EMPTY)
+_V2_PAIR = (np.where(_v0, _n0 & 3, 0)
+            | (np.where(_v1, _n1 & 3, 0) << 2)).astype(np.uint8)
+_V2_VAL = (_v0 | (_v1 << 1)).astype(np.uint8)
+del _x, _n0, _n1, _v0, _v1
+
+
 def nibble_to_v2(tl_codes):
     """[R, POS_TILE/2] nibble arena -> (codes2 [R, POS_TILE/4] uint8,
     valid [R, POS_TILE/8] uint8). Hole slots carry crumb 0, masked by the
-    validity bit; round-trips exactly via unpack_v2."""
-    r = tl_codes.shape[0]
-    codes = np.empty((r, POS_TILE), np.uint8)
-    codes[:, 0::2] = tl_codes >> 4
-    codes[:, 1::2] = tl_codes & 15
-    valid = codes != EMPTY
-    c2 = np.where(valid, codes & 3, 0).astype(np.uint8)
-    codes2 = (c2[:, 0::4] | (c2[:, 1::4] << 2) | (c2[:, 2::4] << 4)
-              | (c2[:, 3::4] << 6)).astype(np.uint8)
-    vbits = np.packbits(valid, axis=1, bitorder="little")
+    validity bit; round-trips exactly via unpack_v2. Byte-LUT vectorized:
+    ~6 table gathers over the arena, cheap enough to run per chunk at
+    staging time (the e2e ablation measured the naive unpack+packbits
+    costing more host time than the smaller wire saved)."""
+    pair = _V2_PAIR[tl_codes]   # [R, POS_TILE/2] crumb pairs (4 bits used)
+    val = _V2_VAL[tl_codes]     # [R, POS_TILE/2] validity pairs (2 bits)
+    codes2 = (pair[:, 0::2] | (pair[:, 1::2] << 4)).astype(np.uint8)
+    vbits = (val[:, 0::4] | (val[:, 1::4] << 2) | (val[:, 2::4] << 4)
+             | (val[:, 3::4] << 6)).astype(np.uint8)
     return codes2, vbits
 
 
@@ -271,31 +282,28 @@ def _make_kernel(phased):
 
 def _make_kernel_v2(phased):
     """v2-wire kernel: 2-bit code crumbs + validity bitmap. Four position
-    planes (slot = 4*byte + crumb) accumulate separately and interleave
-    after the kernel, exactly like the nibble kernel's even/odd pair."""
+    planes (slot = 4*byte + crumb); planes are PAIRED along the lane axis
+    into 128-wide accumulators ((c=0,1) and (c=2,3)) so both the VPU ops
+    and the HBM DMA slices stay 128-lane aligned (Mosaic rejects 64-wide
+    HBM slices), and unpaired+interleaved after the kernel."""
 
     def _kernel(tiles_ref, blocks_ref, firsts_ref, lasts_ref, valid_ref,
                 codes_ref, vcodes_ref, rtile_ref, rrank_ref, rstrand_ref,
-                rhp_ref, *out_and_scratch):
+                rhp_ref, c01_hbm, c23_hbm, r01_hbm, r23_hbm,
+                c01_acc, c23_acc, r01_acc, r23_acc, sems):
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        c_hbm = out_and_scratch[0:4]
-        r_hbm = out_and_scratch[4:8]
-        c_acc = out_and_scratch[8:12]
-        r_acc = out_and_scratch[12:16]
-        sems = out_and_scratch[16]
-
         v = pl.program_id(0)
 
         @pl.when(firsts_ref[v] == 1)
         def _():
-            for acc in c_acc:
-                acc[:, :] = jnp.zeros_like(acc)
-            for acc in r_acc:
-                acc[:, :] = jnp.full_like(acc, RANK_INF_F)
+            c01_acc[:, :] = jnp.zeros_like(c01_acc)
+            c23_acc[:, :] = jnp.zeros_like(c23_acc)
+            r01_acc[:, :] = jnp.full_like(r01_acc, RANK_INF_F)
+            r23_acc[:, :] = jnp.full_like(r23_acc, RANK_INF_F)
 
         @pl.when(valid_ref[v] == 1)
         def _():
@@ -306,17 +314,34 @@ def _make_kernel_v2(phased):
             strand = rstrand_ref[0, 0, :].reshape(ROW_BLOCK, 1)
             rank = rrank_ref[0, 0, :].reshape(ROW_BLOCK, 1)
             hp = rhp_ref[0, 0, :].reshape(ROW_BLOCK, 1)
-            # validity byte of slot 4j+c is j>>1; its bit is 4*(j&1)+c
-            vb2 = jnp.stack([vbytes, vbytes], axis=-1) \
-                .reshape(ROW_BLOCK, V2_HALF)
+            # validity byte of slot 4j+c is j>>1; its bit is 4*(j&1)+c.
+            # The j>>1 expansion ([K,32] -> [K,64] with each byte doubled)
+            # rides a tiny 0/1 matmul: Mosaic rejects the interleaving
+            # shape cast a stack+reshape would need, while an MXU dot with
+            # an iota-built expansion matrix lowers cleanly (exact: byte
+            # values < 256 in f32).
+            emat = (jax.lax.broadcasted_iota(
+                        jnp.int32, (V2_VBYTES, V2_HALF), 0)
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (V2_VBYTES, V2_HALF), 1) // 2) \
+                .astype(jnp.float32)
+            vb2 = jnp.dot(vbytes.astype(jnp.float32), emat,
+                          preferred_element_type=jnp.float32) \
+                .astype(jnp.int32)
             parity = jax.lax.broadcasted_iota(
                 jnp.int32, (1, V2_HALF), 1) & 1
-            zero_row = jnp.zeros((1, V2_HALF), jnp.float32)
-            inf_row = jnp.full((1, V2_HALF), RANK_INF_F, jnp.float32)
+            # [K, 128] paired bases: lanes 0..63 = plane c, 64.. = c+1
+            bases = []
             for c in range(4):
                 nib = (packed >> (2 * c)) & 3
                 bit = (vb2 >> (4 * parity + c)) & 1
-                base = jnp.where((bit != 0) & rmask, nib, EMPTY)
+                bases.append(jnp.where((bit != 0) & rmask, nib, EMPTY))
+            pair_base = (jnp.concatenate([bases[0], bases[1]], axis=1),
+                         jnp.concatenate([bases[2], bases[3]], axis=1))
+            zero_row = jnp.zeros((1, 2 * V2_HALF), jnp.float32)
+            inf_row = jnp.full((1, 2 * V2_HALF), RANK_INF_F, jnp.float32)
+            for base, cacc, racc in ((pair_base[0], c01_acc, r01_acc),
+                                     (pair_base[1], c23_acc, r23_acc)):
                 fwd_rows, rev_rows, min_rows = [], [], []
                 hp1_rows, hp2_rows = [], []
                 for code in range(4):
@@ -342,21 +367,23 @@ def _make_kernel_v2(phased):
                             + [zero_row] * (C_PAD - 28))
                 else:
                     tail = [zero_row] * (C_PAD - 18)
-                c_acc[c][:, :] += jnp.concatenate(
+                cacc[:, :] += jnp.concatenate(
                     fwd_rows + [zero_row] * 5 + rev_rows + [zero_row] * 5
                     + tail, axis=0)
-                r_acc[c][:, :] = jnp.minimum(
-                    r_acc[c][:, :],
+                racc[:, :] = jnp.minimum(
+                    racc[:, :],
                     jnp.concatenate(min_rows + [inf_row] * (G_PAD - 4),
                                     axis=0))
 
         @pl.when(lasts_ref[v] == 1)
         def _():
-            base = tiles_ref[v] * V2_HALF
+            base = tiles_ref[v] * (2 * V2_HALF)
             dmas = [pltpu.make_async_copy(
-                        acc, hbm.at[:, pl.ds(base, V2_HALF)], sems.at[i])
+                        acc, hbm.at[:, pl.ds(base, 2 * V2_HALF)],
+                        sems.at[i])
                     for i, (acc, hbm) in enumerate(
-                        list(zip(c_acc, c_hbm)) + list(zip(r_acc, r_hbm)))]
+                        ((c01_acc, c01_hbm), (c23_acc, c23_hbm),
+                         (r01_acc, r01_hbm), (r23_acc, r23_hbm)))]
             for d in dmas:
                 d.start()
             for d in dmas:
@@ -381,7 +408,7 @@ def tilelet_expand_v2(tl_codes2, tl_valid, tl_tile, tl_rank_f32, tl_strand,
     nb = r_pad // ROW_BLOCK
     n_visits = visit_tiles.shape[0]
     n_tiles = width_pad // POS_TILE
-    w_q = n_tiles * V2_HALF
+    w_h = n_tiles * 2 * V2_HALF  # paired-plane width per output
 
     def _spec(shape):
         return pl.BlockSpec(
@@ -396,11 +423,14 @@ def tilelet_expand_v2(tl_codes2, tl_valid, tl_tile, tl_rank_f32, tl_strand,
                   _spec((1, 1, ROW_BLOCK)), _spec((1, 1, ROW_BLOCK)),
                   _spec((1, 1, ROW_BLOCK)), _spec((1, 1, ROW_BLOCK))],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-                        for _ in range(8)),
-        scratch_shapes=(
-            [pltpu.VMEM((C_PAD, V2_HALF), jnp.float32) for _ in range(4)]
-            + [pltpu.VMEM((G_PAD, V2_HALF), jnp.float32) for _ in range(4)]
-            + [pltpu.SemaphoreType.DMA((8,))]),
+                        for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((C_PAD, 2 * V2_HALF), jnp.float32),
+            pltpu.VMEM((C_PAD, 2 * V2_HALF), jnp.float32),
+            pltpu.VMEM((G_PAD, 2 * V2_HALF), jnp.float32),
+            pltpu.VMEM((G_PAD, 2 * V2_HALF), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
     )
     kwargs = {}
     if not interpret:
@@ -408,13 +438,12 @@ def tilelet_expand_v2(tl_codes2, tl_valid, tl_tile, tl_rank_f32, tl_strand,
             dimension_semantics=("arbitrary",))
     if tl_hp is None:
         tl_hp = jnp.zeros(r_pad, jnp.int8)
-    outs = pl.pallas_call(
+    c01, c23, r01, r23 = pl.pallas_call(
         _make_kernel_v2(phased),
         grid_spec=grid_spec,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((cp, w_q), jnp.float32)
-            for cp in (C_PAD, C_PAD, C_PAD, C_PAD,
-                       G_PAD, G_PAD, G_PAD, G_PAD)),
+            jax.ShapeDtypeStruct((cp, w_h), jnp.float32)
+            for cp in (C_PAD, C_PAD, G_PAD, G_PAD)),
         interpret=interpret,
         **kwargs,
     )(visit_tiles, visit_blocks, visit_firsts, visit_lasts, visit_valid,
@@ -424,11 +453,18 @@ def tilelet_expand_v2(tl_codes2, tl_valid, tl_tile, tl_rank_f32, tl_strand,
       tl_rank_f32.reshape(nb, 1, ROW_BLOCK),
       tl_strand.astype(jnp.int32).reshape(nb, 1, ROW_BLOCK),
       tl_hp.astype(jnp.int32).reshape(nb, 1, ROW_BLOCK))
-    # interleave the four crumb planes back into genome order:
-    # plane c, column t*V2_HALF+j  ->  position t*POS_TILE + 4j + c
-    counts = jnp.stack(outs[0:4], axis=-1).reshape(C_PAD, width_pad)
-    granks = jnp.stack(outs[4:8], axis=-1).reshape(G_PAD, width_pad)
-    return counts, granks
+
+    # unpair + interleave back into genome order: pair output block t holds
+    # plane c at lanes [64*(c&1), 64*(c&1)+64); plane c column j maps to
+    # position t*POS_TILE + 4j + c
+    def _weave(p01, p23, cp):
+        a = p01.reshape(cp, n_tiles, 2, V2_HALF)
+        b = p23.reshape(cp, n_tiles, 2, V2_HALF)
+        planes = jnp.stack([a[:, :, 0], a[:, :, 1],
+                            b[:, :, 0], b[:, :, 1]], axis=-1)
+        return planes.reshape(cp, width_pad)
+
+    return _weave(c01, c23, C_PAD), _weave(r01, r23, G_PAD)
 
 
 def tilelet_expand(tl_codes, tl_tile, tl_rank_f32, tl_strand,
