@@ -153,8 +153,11 @@ out = {{"mode": mode, "wall_s": round(wall, 2), "candidates": int(n),
         if hasattr(bam, "bytes_read") else None}}
 if mode != "full":
     out["shard_walls"] = [round(w, 2) for w in shard_walls]
-elif stats.fused is not None:
-    out["fused_counters"] = stats.fused
+else:
+    if stats.fused is not None:
+        out["fused_counters"] = stats.fused
+    if stats.routing is not None:
+        out["routing"] = stats.routing
 print("SCALE_RESULT " + json.dumps(out))
 """
 
@@ -297,10 +300,31 @@ def main():
         assert rows_f == rows_h, (
             f"device fused run diverged from device host run: "
             f"{len(rows_f)} vs {len(rows_h)} rows")
+        # hybrid: the product's per-chunk router (what --pileup_backend
+        # auto selects on TPU) over the SAME whole-genome dataset; its
+        # output must match both pure policies and its throughput must
+        # land at or above the best pure policy (the routing economics
+        # are exactly what the router encodes)
+        d_hyb = run_child("full", fasta, bam,
+                          os.path.join(workdir, "dev_hybrid"),
+                          platform="device", backend="hybrid")
+        rows_y = [l for l in open(os.path.join(workdir, "dev_hybrid",
+                                               "full.vcf"))
+                  if not l.startswith("#")]
+        assert rows_y == rows_h, (
+            f"device hybrid run diverged from device host run: "
+            f"{len(rows_y)} vs {len(rows_h)} rows")
+        best_pure = max(d_full["sites_per_s"], d_fused["sites_per_s"])
+        d_hyb["vs_best_pure"] = round(d_hyb["sites_per_s"] / best_pure, 3)
+        assert d_hyb["sites_per_s"] >= 0.85 * best_pure, (
+            f"whole-genome hybrid lost to the best pure policy beyond "
+            f"noise: {d_hyb['sites_per_s']} vs {best_pure}")
         device = {
             "device_full": d_full,
             "device_fused": {**d_fused,
                              "rows_identical_to_device_full": True},
+            "device_hybrid": {**d_hyb,
+                              "rows_identical_to_device_full": True},
         }
     else:
         print("[scale_run] no accelerator reachable: skipping device runs",
@@ -369,6 +393,19 @@ def patch_scaling_md(result):
             f"in one jit): {dz['candidates']} sites in {dz['wall_s']}s = "
             f"**{dz['sites_per_s']} sites/s** at {dz['rss_mb']} MB RSS, "
             "row-identical to the device host run",
+        ]
+        if "device_hybrid" in result:
+            dh = result["device_hybrid"]
+            lines += [
+                f"- device-backed HYBRID run (per-chunk router, what "
+                f"`--pileup_backend auto` selects on TPU): "
+                f"{dh['candidates']} sites in {dh['wall_s']}s = "
+                f"**{dh['sites_per_s']} sites/s** "
+                f"({dh['vs_best_pure']}x the best pure policy; routing "
+                f"{dh.get('routing', {})}), row-identical to both pure "
+                "runs",
+            ]
+        lines += [
             "- device-run RSS caveat: the tunnel runtime leaks ~1x the "
             "transferred host bytes per transfer (measured with a "
             "device_put loop, PERF.md \"Host-memory leak\"), so device-run "
