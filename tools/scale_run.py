@@ -316,9 +316,6 @@ def main():
             f"{len(rows_y)} vs {len(rows_h)} rows")
         best_pure = max(d_full["sites_per_s"], d_fused["sites_per_s"])
         d_hyb["vs_best_pure"] = round(d_hyb["sites_per_s"] / best_pure, 3)
-        assert d_hyb["sites_per_s"] >= 0.85 * best_pure, (
-            f"whole-genome hybrid lost to the best pure policy beyond "
-            f"noise: {d_hyb['sites_per_s']} vs {best_pure}")
         device = {
             "device_full": d_full,
             "device_fused": {**d_fused,
@@ -352,6 +349,13 @@ def main():
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
     patch_scaling_md(result)
+    # throughput bar LAST (after the artifact is written): a marginal miss
+    # must not discard an hour of measurement
+    if "device_hybrid" in result:
+        dh = result["device_hybrid"]
+        assert dh["vs_best_pure"] >= 0.85, (
+            f"whole-genome hybrid lost to the best pure policy beyond "
+            f"noise: vs_best_pure={dh['vs_best_pure']}")
 
 
 def patch_scaling_md(result):
