@@ -81,6 +81,11 @@ WIRE_BYTES_PER_BASE = float(os.environ.get(
 # only steers the first few chunks.
 BASES_PER_CBYTE_SEED = float(os.environ.get(
     "CLAIR3_RNA_TPU_BASES_PER_CBYTE", 0.6))
+# re-try a bucket's measured-losing (or not-yet-measured) route every N
+# chunks so routing tracks link weather within the run; at a 2x route gap
+# the exploration overhead is ~(2-1)/N = 4%
+ROUTE_EXPLORE_EVERY = int(os.environ.get(
+    "CLAIR3_RNA_TPU_ROUTE_EXPLORE_EVERY", "25"))
 
 
 def probe_link_bandwidth(nbytes=50_000_000):
@@ -120,11 +125,29 @@ class ChunkRoutePolicy:
     only has to land within ~2x: the regimes it separates differ by 20x+
     in wire bytes.
 
-    Thread-safe: `route`/`observe` are called from the pipeline's prefetch
-    pool. Routing is intentionally NOT bit-deterministic across runs (the
-    calibration ratio depends on completion order under threading) --
-    both routes emit identical VCF rows, so the merged output is
-    deterministic regardless (tests/test_hybrid_backend.py proves it).
+    Routing itself is MEASUREMENT-DRIVEN within the run: chunks bucket by
+    log2(estimated bases), and per (bucket, route) the policy keeps an
+    EWMA of the MEASURED per-chunk build wall (`observe_wall`, fed by the
+    pipeline's joblog timer). A bucket with both routes measured routes to
+    the measured winner and re-tries the loser every ROUTE_EXPLORE_EVERY
+    chunks so the decision tracks link weather; a bucket with one route
+    measured explores the other on the same cadence (fused only once its
+    graphs are warm, or when the static model puts it within 3x -- a cold
+    fused compile can cost minutes on a tunnel and must not be bought for
+    curiosity). Only unmeasured buckets fall back to the static cost-model
+    prior below. The r05 SCALE_RUN made the case for this: constants
+    fitted to the round-4 link routed every 14x chunk fused while the
+    host route was measured winning 1.7x on that day's link -- a static
+    model cannot track an environment that swings 10x between sessions.
+    Known bias: the host route's wall excludes its (async, cross-chunk
+    batched) device inference, so ties lean host -- the direction that
+    never buys a wire regression.
+
+    Thread-safe: `route`/`observe*` are called from the pipeline's
+    prefetch pool. Routing is intentionally NOT bit-deterministic across
+    runs (EWMAs depend on completion order under threading) -- both
+    routes emit identical VCF rows, so the merged output is deterministic
+    regardless (tests/test_hybrid_backend.py proves it).
     """
 
     def __init__(self, bam_path, link_bps, ref_index):
@@ -137,6 +160,12 @@ class ChunkRoutePolicy:
         self.bases_per_cbyte = BASES_PER_CBYTE_SEED
         self.fused_chunks = 0
         self.host_chunks = 0
+        self.explore_chunks = 0
+        # bucket -> route -> [ewma_wall_s, n_obs]; bucket -> chunks since
+        # the measured loser (or unmeasured route) was last tried
+        self._walls: dict = {}
+        self._since_alt: dict = {}
+        self._fused_warm = False  # first fused wall discarded (jit compile)
         self._lock = threading.Lock()
         self._bai = None
         bai_path = index_path_for(bam_path) if bam_path else None
@@ -173,19 +202,68 @@ class ChunkRoutePolicy:
             ratio = self.bases_per_cbyte
         return cb * ratio
 
+    @staticmethod
+    def _bucket(bases):
+        """log2 depth bucket; chunks within one bucket differ <=2x in
+        bases, so raw wall EWMAs compare fairly inside it."""
+        import math
+
+        return max(0, int(math.log2(max(bases, 1.0) / 1e5)))
+
+    def _model_costs(self, width, bases):
+        """Static cost-model prior (constants above): (choice, host_s,
+        fused_s). Used before a bucket has measurements."""
+        host_s = H_FIX_S_PER_POS * width + bases / HOST_BUILD_BPS
+        fused_s = (FUSED_FIX_S + bases / PACKED_EXTRACT_BPS
+                   + bases * WIRE_BYTES_PER_BASE / self.link_bps)
+        choice = "fused" if fused_s <= host_s * FUSED_PREFERENCE else "host"
+        return choice, host_s, fused_s
+
     def route(self, ctg, start, end):
-        """-> "fused" | "host" for one chunk (cost model above)."""
+        """-> "fused" | "host" for one chunk (measured walls first, static
+        model prior for unmeasured buckets; see class docstring)."""
         bases = self.estimate_bases(ctg, start, end)
         if bases is None:
             with self._lock:
                 self.host_chunks += 1
             return "host"
         width = end - start
-        host_s = H_FIX_S_PER_POS * width + bases / HOST_BUILD_BPS
-        fused_s = (FUSED_FIX_S + bases / PACKED_EXTRACT_BPS
-                   + bases * WIRE_BYTES_PER_BASE / self.link_bps)
-        choice = "fused" if fused_s <= host_s * FUSED_PREFERENCE else "host"
+        model_pick, model_host_s, model_fused_s = self._model_costs(
+            width, bases)
+        b = self._bucket(bases)
         with self._lock:
+            walls = self._walls.get(b, {})
+            measured = {r: w[0] for r, w in walls.items() if w[1] > 0}
+            self._since_alt[b] = self._since_alt.get(b, 0) + 1
+            due = self._since_alt[b] >= ROUTE_EXPLORE_EVERY
+            explored = False
+            if len(measured) == 2:
+                choice = min(measured, key=measured.get)
+                # cadence scales with the measured gap so exploration
+                # overhead stays ~(r-1)/(EXPLORE_EVERY*r) <= 4% even when
+                # the loser is far behind
+                ratio = max(measured.values()) / max(min(measured.values()),
+                                                     1e-9)
+                if self._since_alt[b] >= ROUTE_EXPLORE_EVERY * max(1.0,
+                                                                   ratio):
+                    choice = "fused" if choice == "host" else "host"
+                    explored = True
+            elif len(measured) == 1:
+                (choice,) = measured
+                if due:
+                    other = "fused" if choice == "host" else "host"
+                    # a cold fused compile costs minutes on a tunnel; only
+                    # buy it when the graphs are already warm or the model
+                    # prior puts fused within 3x of host
+                    if other == "host" or self._fused_warm \
+                            or model_fused_s < 3.0 * model_host_s:
+                        choice = other
+                        explored = True
+            else:
+                choice = model_pick
+            if explored:
+                self.explore_chunks += 1
+                self._since_alt[b] = 0
             if choice == "fused":
                 self.fused_chunks += 1
             else:
@@ -202,11 +280,32 @@ class ChunkRoutePolicy:
             self.bases_per_cbyte = (0.7 * self.bases_per_cbyte
                                     + 0.3 * ratio)
 
+    def observe_wall(self, route, actual_bases, wall_s):
+        """Record a completed chunk's measured build wall for its route.
+
+        The first fused wall of the process is discarded -- it includes
+        the jit compiles, which would poison the EWMA and exile fused
+        until the next exploration."""
+        if wall_s <= 0 or actual_bases <= 0:
+            return
+        b = self._bucket(actual_bases)
+        with self._lock:
+            if route == "fused" and not self._fused_warm:
+                self._fused_warm = True
+                return
+            ew = self._walls.setdefault(b, {}).setdefault(route, [0.0, 0])
+            ew[0] = wall_s if ew[1] == 0 else 0.7 * ew[0] + 0.3 * wall_s
+            ew[1] += 1
+
     def counters(self):
         with self._lock:
             return {"fused_chunks": self.fused_chunks,
                     "host_chunks": self.host_chunks,
-                    "bases_per_cbyte": round(self.bases_per_cbyte, 3)}
+                    "explore_chunks": self.explore_chunks,
+                    "bases_per_cbyte": round(self.bases_per_cbyte, 3),
+                    "bucket_walls": {
+                        b: {r: round(w[0], 4) for r, w in rw.items()}
+                        for b, rw in sorted(self._walls.items())}}
 
 
 def choose_backend():

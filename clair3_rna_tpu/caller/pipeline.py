@@ -438,20 +438,26 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             if known_vcf_positions else None,
             "bed_regions": bed_regions,
         }
-        return fused_caller.call_chunk(data, codes, task.ctg_name, ref_seq,
-                                       ref_lo, task.start, task.end,
-                                       cover_allow=cover_allow,
-                                       cand_allow=cand_allow,
-                                       host_ctx=host_ctx)
+        out = fused_caller.call_chunk(data, codes, task.ctg_name, ref_seq,
+                                      ref_lo, task.start, task.end,
+                                      cover_allow=cover_allow,
+                                      cand_allow=cand_allow,
+                                      host_ctx=host_ctx)
+        return out, getattr(data, "n_base", 0)
 
     def build_one(task):
         t0 = time.time()
+        tried_fused = False
         if fused_caller is not None and (
                 route_policy is None
                 or route_policy.route(task.ctg_name, task.start,
                                       task.end) == "fused"):
-            fused_out = fused_one(task)
+            tried_fused = True
+            fused_out, fused_bases = fused_one(task)
             if fused_out is not None:
+                if route_policy is not None:
+                    route_policy.observe_wall("fused", fused_bases,
+                                              time.time() - t0)
                 return ("rows",) + fused_out, time.time() - t0
         out = build_chunk_tensors(
             bam, fasta, task, cfg,
@@ -461,8 +467,14 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
         if route_policy is not None and out[1] is not None:
             # calibrate the byte->base ratio from host-routed chunks too
             # (depth = ACGT + star entries, a close proxy for aligned bases)
+            bases = int(out[1].depth.sum())
             route_policy.observe(task.ctg_name, task.start, task.end,
-                                 int(out[1].depth.sum()))
+                                 bases)
+            if not tried_fused:
+                # a chunk that first attempted fused and fell back has a
+                # contaminated wall; record host walls only for pure-host
+                # chunks
+                route_policy.observe_wall("host", bases, time.time() - t0)
         return ("records", out), time.time() - t0
 
     # two workers keep two chunk builds in flight: the C++ tile builder and

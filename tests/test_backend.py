@@ -134,3 +134,59 @@ class TestChunkRoutePolicy:
         pol = self._policy(bam)
         assert not pol.usable
         assert pol.route("chr1", 0, 100_000) == "host"
+
+    # --- measurement-driven routing (r05: static constants routed every
+    # 14x chunk fused while the host route was measured winning 1.7x on
+    # that session's link -- measured walls must override the prior) ----
+
+    def test_measured_walls_override_the_model(self, tmp_path):
+        fasta, bam = _sim_bam(tmp_path, depth=14)
+        pol = self._policy(bam, link_bps=130e6)  # prior: fused at 14x
+        assert pol.route("chr1", 0, 100_000) == "fused"
+        bases = pol.estimate_bases("chr1", 0, 100_000)
+        # warmup discard, then a measured fused wall far above host's
+        pol.observe_wall("fused", bases, 0.50)  # discarded (compile)
+        pol.observe_wall("fused", bases, 0.12)
+        pol.observe_wall("host", bases, 0.07)
+        assert pol.route("chr1", 0, 100_000) == "host"
+        c = pol.counters()
+        assert c["bucket_walls"]  # telemetry carries the measured EWMAs
+
+    def test_first_fused_wall_discarded_as_compile_warmup(self, tmp_path):
+        fasta, bam = _sim_bam(tmp_path, depth=14)
+        pol = self._policy(bam, link_bps=130e6)
+        bases = pol.estimate_bases("chr1", 0, 100_000)
+        pol.observe_wall("fused", bases, 60.0)  # jit compile, discarded
+        pol.observe_wall("host", bases, 0.07)
+        pol.observe_wall("fused", bases, 0.04)
+        # the 60 s compile must not have poisoned the fused EWMA
+        assert pol.route("chr1", 0, 100_000) == "fused"
+
+    def test_exploration_retries_the_losing_route(self, tmp_path, \
+            monkeypatch):
+        monkeypatch.setattr(be, "ROUTE_EXPLORE_EVERY", 5)
+        fasta, bam = _sim_bam(tmp_path, depth=14)
+        pol = self._policy(bam, link_bps=130e6)
+        bases = pol.estimate_bases("chr1", 0, 100_000)
+        pol.observe_wall("fused", bases, 9.0)   # warmup discard
+        pol.observe_wall("fused", bases, 0.10)
+        pol.observe_wall("host", bases, 0.05)
+        routes = [pol.route("chr1", 0, 100_000) for _ in range(12)]
+        assert "fused" in routes         # the loser is re-tried...
+        assert routes.count("host") > routes.count("fused")  # ...sparsely
+        assert pol.counters()["explore_chunks"] >= 1
+
+    def test_cold_fused_not_bought_when_model_says_far(self, tmp_path, \
+            monkeypatch):
+        """One route measured (host), fused never run: exploration must
+        not pay a cold fused compile when the prior puts fused >3x out
+        (deep chunks on a slow link)."""
+        monkeypatch.setattr(be, "ROUTE_EXPLORE_EVERY", 2)
+        fasta, bam = _sim_bam(
+            tmp_path, depth=14,
+            extra_regions={"chr1": [(0, 100_000, 246)]})
+        pol = self._policy(bam, link_bps=30e6)
+        bases = pol.estimate_bases("chr1", 0, 100_000)
+        pol.observe_wall("host", bases, 0.2)
+        routes = [pol.route("chr1", 0, 100_000) for _ in range(10)]
+        assert routes == ["host"] * 10

@@ -288,9 +288,18 @@ def main():
         d_full = run_child("full", fasta, bam,
                            os.path.join(workdir, "dev_full"),
                            platform="device")
+        # fused child runs twice: the first pass pays any cold graph
+        # compiles (measured ~570 s for 11 layouts on the r05 tunnel, all
+        # persisted to .jax_cache and served to later children), the
+        # second is the warm steady-state number a deployment sees
+        d_cold = run_child("full", fasta, bam,
+                           os.path.join(workdir, "dev_fused_cold"),
+                           platform="device", backend="fused")
         d_fused = run_child("full", fasta, bam,
                             os.path.join(workdir, "dev_fused"),
                             platform="device", backend="fused")
+        d_fused["cold_wall_s"] = d_cold["wall_s"]
+        d_fused["cold_sites_per_s"] = d_cold["sites_per_s"]
         rows_h = [l for l in open(os.path.join(workdir, "dev_full",
                                                "full.vcf"))
                   if not l.startswith("#")]
@@ -394,9 +403,11 @@ def patch_scaling_md(result):
             f"backend): {df['candidates']} sites in {df['wall_s']}s = "
             f"**{df['sites_per_s']} sites/s** at {df['rss_mb']} MB RSS",
             f"- device-backed FUSED run (packed reads to HBM, whole chunk "
-            f"in one jit): {dz['candidates']} sites in {dz['wall_s']}s = "
-            f"**{dz['sites_per_s']} sites/s** at {dz['rss_mb']} MB RSS, "
-            "row-identical to the device host run",
+            f"in one jit; warm graphs): {dz['candidates']} sites in "
+            f"{dz['wall_s']}s = **{dz['sites_per_s']} sites/s** at "
+            f"{dz['rss_mb']} MB RSS, row-identical to the device host run"
+            + (f" (cold first run incl. one-time graph compiles: "
+               f"{dz['cold_wall_s']}s)" if "cold_wall_s" in dz else ""),
         ]
         if "device_hybrid" in result:
             dh = result["device_hybrid"]
