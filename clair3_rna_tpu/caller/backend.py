@@ -14,15 +14,19 @@ decision here is which pileup formulation to run:
   Right when the chip is locally attached: the ship stage drops under the
   host build's wall and the fused path frees the host cores that counting
   would burn (PERF.md crossover model).
-- "hybrid": decide PER CHUNK. The repo's own measurements prove the right
-  choice is depth-dependent on mid-grade links -- fused wins 1.8x at 14x
-  (SCALE_RUN.json) and loses 2.6x at 260x (BENCH_r04) on the SAME link --
-  and real lrRNA coverage spans 3-4 orders of magnitude within one sample
-  (that is why the reference's renormalization exists,
-  /root/reference/clair3_rna/utils.py:88-92). ChunkRoutePolicy estimates
-  each chunk's aligned-base count from its BAI compressed-byte span
-  (calibrated online against completed chunks) and routes it by a
-  measured-constant cost model; both routes are VCF-row-identical, so any
+- "hybrid": decide PER CHUNK, from measurements taken DURING the run.
+  The repo's own artifacts prove the right choice depends on both depth
+  and the day's link: fused won 1.8x at 14x on the round-4 link
+  (SCALE_RUN_r04.json) yet lost 1.7x at the same 14x on the round-5
+  link (SCALE_RUN.json), and lost 2.6x at 260x (BENCH_r04) -- while real
+  lrRNA coverage spans 3-4 orders of magnitude within one sample (that
+  is why the reference's renormalization exists,
+  /root/reference/clair3_rna/utils.py:88-92). ChunkRoutePolicy therefore
+  routes each chunk to the route with the lower MEASURED per-chunk wall
+  in its depth bucket (EWMAs fed by the pipeline's own joblog timer,
+  losers re-explored on a bounded cadence); a static cost model over the
+  chunk's BAI-byte span and the probed link only steers chunks in
+  not-yet-measured buckets. Both routes are VCF-row-identical, so any
   mix merges exactly.
 - "auto": "hybrid" whenever a TPU is present, else "host". (Rounds 3-4
   used a global link-bandwidth probe plus a sampled mean-depth clause
@@ -38,13 +42,16 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-# --- ChunkRoutePolicy cost-model constants -----------------------------------
+# --- ChunkRoutePolicy cost-model PRIOR constants -----------------------------
 # Fitted to MEASURED per-chunk pipeline walls on this class of host (2-vCPU
-# + tunnel v5e: SCALE_RUN.json 14x whole-genome, BENCH_r04 35x/260x) and
-# env-overridable for other deployments. The constants are empirical
-# per-chunk wall coefficients -- they fold build + staging + overlap
-# effects, not isolated stage rates -- and only have to ORDER two costs
-# that differ by integer factors at the regime boundaries:
+# + tunnel v5e: SCALE_RUN_r04.json 14x whole-genome, BENCH_r04 35x/260x)
+# and env-overridable for other deployments. Since r05 these constants
+# only steer chunks whose depth bucket has no measured walls yet (the
+# router then follows in-run measurements -- the r04-fitted constants
+# mis-routed every chunk on the r05 link, see ChunkRoutePolicy); they
+# fold build + staging + overlap effects, not isolated stage rates, and
+# only have to ORDER two costs that differ by integer factors at the
+# regime boundaries:
 #
 #   host_s(chunk)  = H_FIX_S_PER_POS * width + bases / HOST_BUILD_BPS
 #   fused_s(chunk) = FUSED_FIX_S + bases / PACKED_EXTRACT_BPS
@@ -280,20 +287,32 @@ class ChunkRoutePolicy:
             self.bases_per_cbyte = (0.7 * self.bases_per_cbyte
                                     + 0.3 * ratio)
 
-    def observe_wall(self, route, actual_bases, wall_s):
+    def observe_wall(self, route, ctg, start, end, wall_s,
+                     compiled=False):
         """Record a completed chunk's measured build wall for its route.
 
-        The first fused wall of the process is discarded -- it includes
-        the jit compiles, which would poison the EWMA and exile fused
-        until the next exploration."""
-        if wall_s <= 0 or actual_bases <= 0:
+        Bucketed by the same BAI-byte ESTIMATE route() used, so the
+        statistics land where the decisions are made. Walls from chunks
+        that paid a jit trace/compile (`compiled`, detected by the
+        pipeline via FusedChunkCaller.graph_count) are discarded -- a
+        ~60 s one-time compile would poison a ~0.1 s steady-state EWMA
+        and exile the route; as belt-and-braces any wall >20x the
+        existing EWMA is soft-clamped (a genuine sustained regression
+        still drags the EWMA up at 20x/observation, an isolated anomaly
+        cannot exile a route)."""
+        if wall_s <= 0 or compiled:
             return
-        b = self._bucket(actual_bases)
+        bases = self.estimate_bases(ctg, start, end)
+        if not bases or bases <= 0:
+            return
+        b = self._bucket(bases)
         with self._lock:
             if route == "fused" and not self._fused_warm:
                 self._fused_warm = True
                 return
             ew = self._walls.setdefault(b, {}).setdefault(route, [0.0, 0])
+            if ew[1] > 0:
+                wall_s = min(wall_s, 20.0 * ew[0])
             ew[0] = wall_s if ew[1] == 0 else 0.7 * ew[0] + 0.3 * wall_s
             ew[1] += 1
 
@@ -314,10 +333,12 @@ def choose_backend():
 
     if jax.default_backend() != "tpu":
         return "host", f"no TPU present (backend={jax.default_backend()})"
-    return "hybrid", ("TPU present: per-chunk host-vs-fused routing "
-                      "(ChunkRoutePolicy cost model over the probed link; "
-                      "fused measured winning 1.8x at 14x and losing 2.6x "
-                      "at 260x on the same link, SCALE_RUN/BENCH_r04)")
+    return "hybrid", ("TPU present: per-chunk host-vs-fused routing from "
+                      "walls measured during the run (ChunkRoutePolicy; "
+                      "the winning route flips with depth AND link "
+                      "weather -- fused won 1.8x at 14x on the r04 link "
+                      "and lost 1.7x at the same depth on the r05 link, "
+                      "SCALE_RUN_r04/SCALE_RUN)")
 
 
 def resolve_backend(requested=None, bam_path=None, contigs=None):

@@ -453,11 +453,14 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 or route_policy.route(task.ctg_name, task.start,
                                       task.end) == "fused"):
             tried_fused = True
-            fused_out, fused_bases = fused_one(task)
+            graphs0 = fused_caller.graph_count
+            fused_out, _fused_bases = fused_one(task)
             if fused_out is not None:
                 if route_policy is not None:
-                    route_policy.observe_wall("fused", fused_bases,
-                                              time.time() - t0)
+                    route_policy.observe_wall(
+                        "fused", task.ctg_name, task.start, task.end,
+                        time.time() - t0,
+                        compiled=fused_caller.graph_count > graphs0)
                 return ("rows",) + fused_out, time.time() - t0
         out = build_chunk_tensors(
             bam, fasta, task, cfg,
@@ -474,7 +477,9 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
                 # a chunk that first attempted fused and fell back has a
                 # contaminated wall; record host walls only for pure-host
                 # chunks
-                route_policy.observe_wall("host", bases, time.time() - t0)
+                route_policy.observe_wall("host", task.ctg_name,
+                                          task.start, task.end,
+                                          time.time() - t0)
         return ("records", out), time.time() - t0
 
     # two workers keep two chunk builds in flight: the C++ tile builder and

@@ -993,6 +993,16 @@ class FusedChunkCaller:
         with self._lock:
             setattr(self, name, getattr(self, name) + delta)
 
+    @property
+    def graph_count(self):
+        """Number of distinct jitted graphs this caller has created. A
+        chunk whose call grows this count paid a trace+compile (or an
+        on-disk cache deserialization) -- the hybrid router uses the
+        delta to keep one-time compile walls out of its route EWMAs."""
+        with self._lock:
+            return (len(self._blob_fns) + len(self._win_fns)
+                    + len(self._fused_by_budget))
+
     def counters(self):
         """Snapshot of the telemetry counters (cumulative over the caller's
         lifetime; run-scoped deltas are the reader's job, since callers are

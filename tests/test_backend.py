@@ -143,11 +143,10 @@ class TestChunkRoutePolicy:
         fasta, bam = _sim_bam(tmp_path, depth=14)
         pol = self._policy(bam, link_bps=130e6)  # prior: fused at 14x
         assert pol.route("chr1", 0, 100_000) == "fused"
-        bases = pol.estimate_bases("chr1", 0, 100_000)
         # warmup discard, then a measured fused wall far above host's
-        pol.observe_wall("fused", bases, 0.50)  # discarded (compile)
-        pol.observe_wall("fused", bases, 0.12)
-        pol.observe_wall("host", bases, 0.07)
+        pol.observe_wall("fused", "chr1", 0, 100_000, 0.50)  # warmup
+        pol.observe_wall("fused", "chr1", 0, 100_000, 0.12)
+        pol.observe_wall("host", "chr1", 0, 100_000, 0.07)
         assert pol.route("chr1", 0, 100_000) == "host"
         c = pol.counters()
         assert c["bucket_walls"]  # telemetry carries the measured EWMAs
@@ -155,10 +154,11 @@ class TestChunkRoutePolicy:
     def test_first_fused_wall_discarded_as_compile_warmup(self, tmp_path):
         fasta, bam = _sim_bam(tmp_path, depth=14)
         pol = self._policy(bam, link_bps=130e6)
-        bases = pol.estimate_bases("chr1", 0, 100_000)
-        pol.observe_wall("fused", bases, 60.0)  # jit compile, discarded
-        pol.observe_wall("host", bases, 0.07)
-        pol.observe_wall("fused", bases, 0.04)
+        pol.observe_wall("fused", "chr1", 0, 100_000, 60.0,
+                         compiled=True)  # jit compile, discarded
+        pol.observe_wall("host", "chr1", 0, 100_000, 0.07)
+        pol.observe_wall("fused", "chr1", 0, 100_000, 0.50)  # warmup
+        pol.observe_wall("fused", "chr1", 0, 100_000, 0.04)
         # the 60 s compile must not have poisoned the fused EWMA
         assert pol.route("chr1", 0, 100_000) == "fused"
 
@@ -167,10 +167,9 @@ class TestChunkRoutePolicy:
         monkeypatch.setattr(be, "ROUTE_EXPLORE_EVERY", 5)
         fasta, bam = _sim_bam(tmp_path, depth=14)
         pol = self._policy(bam, link_bps=130e6)
-        bases = pol.estimate_bases("chr1", 0, 100_000)
-        pol.observe_wall("fused", bases, 9.0)   # warmup discard
-        pol.observe_wall("fused", bases, 0.10)
-        pol.observe_wall("host", bases, 0.05)
+        pol.observe_wall("fused", "chr1", 0, 100_000, 9.0)  # warmup
+        pol.observe_wall("fused", "chr1", 0, 100_000, 0.10)
+        pol.observe_wall("host", "chr1", 0, 100_000, 0.05)
         routes = [pol.route("chr1", 0, 100_000) for _ in range(12)]
         assert "fused" in routes         # the loser is re-tried...
         assert routes.count("host") > routes.count("fused")  # ...sparsely
@@ -186,7 +185,6 @@ class TestChunkRoutePolicy:
             tmp_path, depth=14,
             extra_regions={"chr1": [(0, 100_000, 246)]})
         pol = self._policy(bam, link_bps=30e6)
-        bases = pol.estimate_bases("chr1", 0, 100_000)
-        pol.observe_wall("host", bases, 0.2)
+        pol.observe_wall("host", "chr1", 0, 100_000, 0.2)
         routes = [pol.route("chr1", 0, 100_000) for _ in range(10)]
         assert routes == ["host"] * 10
