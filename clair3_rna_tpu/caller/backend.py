@@ -88,11 +88,16 @@ WIRE_BYTES_PER_BASE = float(os.environ.get(
 # only steers the first few chunks.
 BASES_PER_CBYTE_SEED = float(os.environ.get(
     "CLAIR3_RNA_TPU_BASES_PER_CBYTE", 0.6))
-# re-try a bucket's measured-losing (or not-yet-measured) route every N
-# chunks so routing tracks link weather within the run; at a 2x route gap
-# the exploration overhead is ~(2-1)/N = 4%
+# re-try a bucket's measured-losing route every N chunks (scaled by the
+# measured gap) so routing tracks link weather within the run; at a 2x
+# route gap the exploration overhead is ~(2-1)/N = 4%
 ROUTE_EXPLORE_EVERY = int(os.environ.get(
     "CLAIR3_RNA_TPU_ROUTE_EXPLORE_EVERY", "25"))
+# a bucket whose ALTERNATIVE route has never been measured tries it much
+# sooner -- small runs (the 12-chunk bench configs, targeted regions)
+# must be able to learn the day's regime inside one pass
+ROUTE_PROBE_AFTER = int(os.environ.get(
+    "CLAIR3_RNA_TPU_ROUTE_PROBE_AFTER", "4"))
 
 
 def probe_link_bandwidth(nbytes=50_000_000):
@@ -135,14 +140,17 @@ class ChunkRoutePolicy:
     Routing itself is MEASUREMENT-DRIVEN within the run: chunks bucket by
     log2(estimated bases), and per (bucket, route) the policy keeps an
     EWMA of the MEASURED per-chunk build wall (`observe_wall`, fed by the
-    pipeline's joblog timer). A bucket with both routes measured routes to
-    the measured winner and re-tries the loser every ROUTE_EXPLORE_EVERY
-    chunks so the decision tracks link weather; a bucket with one route
-    measured explores the other on the same cadence (fused only once its
-    graphs are warm, or when the static model puts it within 3x -- a cold
-    fused compile can cost minutes on a tunnel and must not be bought for
-    curiosity). Only unmeasured buckets fall back to the static cost-model
-    prior below. The r05 SCALE_RUN made the case for this: constants
+    pipeline's joblog timer; compile-bearing chunks excluded). A bucket
+    with both routes measured routes to the measured winner and re-tries
+    the loser every ROUTE_EXPLORE_EVERY chunks scaled by the measured gap
+    so the decision tracks link weather at bounded cost; a bucket with
+    one route measured probes the other after just ROUTE_PROBE_AFTER
+    chunks -- small runs must learn the day's regime inside one pass --
+    but fused only once its graphs exist in-process or the static model
+    puts it within 3x (a cold fused compile can cost minutes on a tunnel
+    and must not be bought for curiosity). Only unmeasured buckets fall
+    back to the static cost-model prior below. The r05 SCALE_RUN runs
+    made the case for this: constants
     fitted to the round-4 link routed every 14x chunk fused while the
     host route was measured winning 1.7x on that day's link -- a static
     model cannot track an environment that swings 10x between sessions.
@@ -172,7 +180,6 @@ class ChunkRoutePolicy:
         # the measured loser (or unmeasured route) was last tried
         self._walls: dict = {}
         self._since_alt: dict = {}
-        self._fused_warm = False  # first fused wall discarded (jit compile)
         self._lock = threading.Lock()
         self._bai = None
         bai_path = index_path_for(bam_path) if bam_path else None
@@ -257,12 +264,12 @@ class ChunkRoutePolicy:
                     explored = True
             elif len(measured) == 1:
                 (choice,) = measured
-                if due:
+                if self._since_alt[b] >= ROUTE_PROBE_AFTER:
                     other = "fused" if choice == "host" else "host"
                     # a cold fused compile costs minutes on a tunnel; only
-                    # buy it when the graphs are already warm or the model
-                    # prior puts fused within 3x of host
-                    if other == "host" or self._fused_warm \
+                    # buy it when fused graphs already exist in-process or
+                    # the model prior puts fused within 3x of host
+                    if other == "host" or self.fused_chunks > 0 \
                             or model_fused_s < 3.0 * model_host_s:
                         choice = other
                         explored = True
@@ -307,9 +314,6 @@ class ChunkRoutePolicy:
             return
         b = self._bucket(bases)
         with self._lock:
-            if route == "fused" and not self._fused_warm:
-                self._fused_warm = True
-                return
             ew = self._walls.setdefault(b, {}).setdefault(route, [0.0, 0])
             if ew[1] > 0:
                 wall_s = min(wall_s, 20.0 * ew[0])

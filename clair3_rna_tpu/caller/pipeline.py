@@ -124,6 +124,28 @@ from collections import OrderedDict
 _FUSED_CALLERS: OrderedDict = OrderedDict()
 _FUSED_CALLERS_MAX = 4
 
+# hybrid route policies cached per BAM: walls learned by one run_calling
+# invocation (chunk-worker runs, the phased second pass, repeated bench
+# passes) carry to the next instead of relearning the day's regime from
+# scratch -- same lifetime rationale as _FUSED_CALLERS above
+_ROUTE_POLICIES: OrderedDict = OrderedDict()
+_ROUTE_POLICIES_MAX = 4
+
+
+def _get_route_policy(bam_path, link_bps, ref_index):
+    from clair3_rna_tpu.caller.backend import ChunkRoutePolicy
+
+    key = (os.path.realpath(bam_path) if bam_path else None,)
+    ent = _ROUTE_POLICIES.get(key)
+    if ent is not None:
+        _ROUTE_POLICIES.move_to_end(key)
+        return ent
+    pol = ChunkRoutePolicy(bam_path, link_bps, ref_index)
+    _ROUTE_POLICIES[key] = pol
+    while len(_ROUTE_POLICIES) > _ROUTE_POLICIES_MAX:
+        _ROUTE_POLICIES.popitem(last=False)
+    return pol
+
 
 def _get_fused_caller(params, cfg, call_cfg, known_only, with_masks):
     from clair3_rna_tpu.ops.fused_pileup import (FusedChunkCaller,
@@ -372,9 +394,9 @@ def run_calling(bam_path: str, ref_path: str, output_path: str, *,
             with_masks=bed_regions is not None)
         fused_counts0 = fused_caller.counters()
         if backend == "hybrid":
-            route_policy = ChunkRoutePolicy(bam_path,
-                                            cached_link_bandwidth(),
-                                            getattr(bam, "ref_index", {}))
+            route_policy = _get_route_policy(bam_path,
+                                             cached_link_bandwidth(),
+                                             getattr(bam, "ref_index", {}))
             if not route_policy.usable:
                 logger.info("[INFO] hybrid backend: no BAI index -> all "
                             "chunks on the host route")

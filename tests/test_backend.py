@@ -143,21 +143,19 @@ class TestChunkRoutePolicy:
         fasta, bam = _sim_bam(tmp_path, depth=14)
         pol = self._policy(bam, link_bps=130e6)  # prior: fused at 14x
         assert pol.route("chr1", 0, 100_000) == "fused"
-        # warmup discard, then a measured fused wall far above host's
-        pol.observe_wall("fused", "chr1", 0, 100_000, 0.50)  # warmup
+        # measured walls: fused far above host's
         pol.observe_wall("fused", "chr1", 0, 100_000, 0.12)
         pol.observe_wall("host", "chr1", 0, 100_000, 0.07)
         assert pol.route("chr1", 0, 100_000) == "host"
         c = pol.counters()
         assert c["bucket_walls"]  # telemetry carries the measured EWMAs
 
-    def test_first_fused_wall_discarded_as_compile_warmup(self, tmp_path):
+    def test_compile_walls_never_enter_the_ewmas(self, tmp_path):
         fasta, bam = _sim_bam(tmp_path, depth=14)
         pol = self._policy(bam, link_bps=130e6)
         pol.observe_wall("fused", "chr1", 0, 100_000, 60.0,
                          compiled=True)  # jit compile, discarded
         pol.observe_wall("host", "chr1", 0, 100_000, 0.07)
-        pol.observe_wall("fused", "chr1", 0, 100_000, 0.50)  # warmup
         pol.observe_wall("fused", "chr1", 0, 100_000, 0.04)
         # the 60 s compile must not have poisoned the fused EWMA
         assert pol.route("chr1", 0, 100_000) == "fused"
@@ -167,7 +165,6 @@ class TestChunkRoutePolicy:
         monkeypatch.setattr(be, "ROUTE_EXPLORE_EVERY", 5)
         fasta, bam = _sim_bam(tmp_path, depth=14)
         pol = self._policy(bam, link_bps=130e6)
-        pol.observe_wall("fused", "chr1", 0, 100_000, 9.0)  # warmup
         pol.observe_wall("fused", "chr1", 0, 100_000, 0.10)
         pol.observe_wall("host", "chr1", 0, 100_000, 0.05)
         routes = [pol.route("chr1", 0, 100_000) for _ in range(12)]
